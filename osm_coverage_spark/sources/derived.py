@@ -1,0 +1,255 @@
+"""Deterministic derived tables over the driver's TPC-H-ish parquet.
+
+The driver's correctness gate runs our Spark queries against DuckDB oracle
+SQL over the SAME pre-registered parquet views (region nation customer
+supplier part orders lineitem events documents embeddings). The geospatial /
+image tables the engine actually operates on (`alkis`, `osm`, `history`,
+`images` — schemas per FIXTURES.md) are therefore DERIVED from those views
+with pure arithmetic + string SQL written in a dialect-portable subset, so
+the exact same text runs under Catalyst and DuckDB. Seeded by table keys —
+bit-identical everywhere, at every scale factor.
+
+Portability rules for the shared text (enforced by eye + parity tests):
+only +,-,*,/,% on BIGINT/DOUBLE, floor, CASE, ||, CAST AS STRING/BIGINT/
+INT/DOUBLE, md5, substr, length, lower/upper/trim, printf('%.3f') on
+doubles with no decimal-tie values, and no regexp_replace (global-flag
+semantics differ). Engine-specific fragments are parameterized per dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# --------------------------------------------------------------------------
+# alkis / osm — cadastral-vs-OSM shaped tables derived from `orders`
+# --------------------------------------------------------------------------
+
+# Street variants exercise every normalize_key rewrite; the OSM expansion is
+# the spelled-out form with the same normalized key.
+_ALKIS_STREET = """CASE CAST(okey % 12 AS INT)
+  WHEN 0 THEN 'Bgm.-Müller-Str.'
+  WHEN 1 THEN 'Dr. Karl-Weg'
+  WHEN 2 THEN 'St. Anna-Pl.'
+  WHEN 3 THEN 'Prof.-Geschw.-Scholl-Allee'
+  WHEN 4 THEN 'Gerhard-Hauptmann-Weg'
+  WHEN 5 THEN 'Bauerschaft Nordfeld (alt)'
+  WHEN 6 THEN 'Große Straße'
+  WHEN 7 THEN 'Hauptstraße'
+  WHEN 8 THEN 'Ringstr ' || CAST(dnum AS STRING)
+  WHEN 9 THEN 'Am Markt'
+  WHEN 10 THEN 'Lindenallee'
+  ELSE 'Feldweg ' || CAST(dnum AS STRING)
+END"""
+
+_OSM_STREET = """CASE CAST(okey % 12 AS INT)
+  WHEN 0 THEN 'Bürgermeister-Müller-Straße'
+  WHEN 1 THEN 'Doktor Karl-Weg'
+  WHEN 2 THEN 'Sankt Anna-Platz'
+  WHEN 3 THEN 'Professor-Geschwister-Scholl-Allee'
+  WHEN 4 THEN 'Gerhart-Hauptmann-Weg'
+  WHEN 5 THEN 'Nordfeld'
+  WHEN 6 THEN 'Grosse Strasse'
+  WHEN 7 THEN 'Hauptstrasse'
+  WHEN 8 THEN 'Ringstrasse ' || CAST(dnum AS STRING)
+  WHEN 9 THEN 'Am Markt'
+  WHEN 10 THEN 'Lindenallee'
+  ELSE 'Feldweg ' || CAST(dnum AS STRING)
+END"""
+
+_ALKIS_HNR = """CASE CAST(okey % 17 AS INT)
+  WHEN 0 THEN '7-13'
+  WHEN 1 THEN '8-11'
+  WHEN 2 THEN 'A-3'
+  WHEN 3 THEN CAST(hnum AS STRING) || 'a'
+  WHEN 4 THEN '5/7'
+  WHEN 5 THEN '2, 4'
+  WHEN 6 THEN CAST(hnum AS STRING) || ' b'
+  WHEN 7 THEN '13-7'
+  ELSE CAST(hnum AS STRING)
+END"""
+
+ALKIS_BASE_CTE = f"""alkis_base AS (
+  SELECT
+    okey,
+    dnum,
+    hnum,
+    {_ALKIS_STREET} AS street,
+    {_ALKIS_HNR} AS housenumber,
+    CASE WHEN okey % 2 = 0 AND dnum % 5 = 0 THEN 'Aachen'
+         ELSE 'C' || CAST(dnum % 7 AS STRING) END AS city,
+    'D' || CAST(dnum AS STRING) AS district,
+    CASE WHEN okey % 2 = 0 THEN 'nrw' ELSE 'nds' END AS state,
+    6.0e0 + (okey * 37 % 10000) / 2500.0e0 AS lon,
+    50.0e0 + (okey * 53 % 10000) / 5000.0e0 AS lat
+  FROM (
+    SELECT o_orderkey AS okey,
+           CAST(o_custkey % 20 AS BIGINT) AS dnum,
+           CAST(o_orderkey % 80 + 1 AS BIGINT) AS hnum
+    FROM orders
+  )
+)"""
+
+ALKIS_CTE = """alkis AS (
+  SELECT
+    substr(md5(district || '_' || street || '_' || housenumber || '_'
+               || printf('%.3f_%.3f', lon, lat)), 1, 12) AS alkis_id,
+    street, housenumber, city, district, state, lon, lat,
+    okey, dnum, hnum
+  FROM alkis_base
+)"""
+
+# okey % 10 routing: 0-5 matched nearby (0 additionally duplicated),
+# 6 housename-variant-only match, 7 same key but ~3.5 km away, 8-9 absent.
+OSM_CTE = f"""osm AS (
+  SELECT {_OSM_STREET} AS street, housenumber,
+         CAST(NULL AS STRING) AS housename, city,
+         lon + 0.0005e0 AS lon, lat AS lat
+  FROM alkis_base WHERE okey % 10 <= 5
+  UNION ALL
+  SELECT {_OSM_STREET} AS street, housenumber,
+         CAST(NULL AS STRING) AS housename, city,
+         lon + 0.0005e0 AS lon, lat AS lat
+  FROM alkis_base WHERE okey % 10 = 0
+  UNION ALL
+  SELECT {_OSM_STREET} AS street, CAST(hnum AS STRING) AS housenumber,
+         'a' AS housename, city, lon + 0.0005e0 AS lon, lat AS lat
+  FROM alkis_base WHERE okey % 10 = 6 AND okey % 17 = 3
+  UNION ALL
+  SELECT {_OSM_STREET} AS street, housenumber,
+         CAST(NULL AS STRING) AS housename, city,
+         lon + 0.05e0 AS lon, lat AS lat
+  FROM alkis_base WHERE okey % 10 = 7
+)"""
+
+# --------------------------------------------------------------------------
+# history — coverage time series derived from `events`
+# --------------------------------------------------------------------------
+
+HISTORY_CTE = """history AS (
+  SELECT
+    'U' || CAST(user_id % 12 AS STRING) AS name,
+    CAST(CAST(ts AS DATE) AS STRING) AS date,
+    CAST(count(*) AS BIGINT) AS total,
+    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT)
+      AS missing,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS corrections
+  FROM events
+  GROUP BY 1, 2
+)"""
+
+# --------------------------------------------------------------------------
+# images — graft payload (input_hint schema) derived from `documents`
+# --------------------------------------------------------------------------
+# phash: 15 hex chars of md5 -> BIGINT (dialect-specific hex decode).
+# Hotspot skew: doc_id % 5 = 0 (20% of rows) collapses into a ~100 m blob —
+# exercises salted repartitioning. Near-dup twins: doc_id % 7 = 0 rows get a
+# '_b' twin with phash bits 0 and 33 flipped (hamming distance 2).
+
+
+def _hex15_to_bigint(hexpr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"CAST(conv({hexpr}, 16, 10) AS BIGINT)"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (15 - 1 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def images_cte(dialect: str) -> str:
+    phash = _hex15_to_bigint("ph_hex", dialect)
+    return f"""images_base AS (
+  SELECT
+    doc_id,
+    substr(md5('ph' || CAST(doc_id AS STRING)), 1, 15) AS ph_hex,
+    CAST(length(text) % 512 + 32 AS INT) AS w,
+    CAST(n_chars % 512 + 32 AS INT) AS h,
+    CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+    text AS caption,
+    CASE WHEN doc_id % 5 = 0 THEN 6.5432e0 + (doc_id % 16) / 20000.0e0
+         ELSE 6.0e0 + (doc_id * 131 % 9999) / 2500.0e0 END AS lon,
+    CASE WHEN doc_id % 5 = 0 THEN 50.7654e0 + (doc_id % 16) / 40000.0e0
+         ELSE 50.0e0 + (doc_id * 173 % 9999) / 5000.0e0 END AS lat
+  FROM documents
+),
+images_scalar AS (
+  SELECT doc_id, {phash} AS phash, w, h, fmt, caption, lon, lat
+  FROM images_base
+),
+images AS (
+  SELECT 'img_' || CAST(doc_id AS STRING) AS image_id,
+         phash, w, h, fmt, caption, lon, lat
+  FROM images_scalar
+  UNION ALL
+  SELECT 'img_' || CAST(doc_id AS STRING) || '_b' AS image_id,
+         phash + (1 - 2 * (phash % 2))
+               + (1 - 2 * (CASE WHEN phash % 17179869184 >= 8589934592
+                                THEN 1 ELSE 0 END))
+                 * 8589934592 AS phash,
+         w, h, fmt, caption,
+         lon + 0.0003e0 AS lon, lat AS lat
+  FROM images_scalar WHERE doc_id % 7 = 0
+)"""
+
+
+# --------------------------------------------------------------------------
+# Registration / composition helpers
+# --------------------------------------------------------------------------
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = {}
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        dfs[t] = df
+    return dfs
+
+
+def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the derived tables as temp views in Spark (lazy plans)."""
+    load_testdata(spark, sf_dir)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW alkis_base AS WITH {ALKIS_BASE_CTE} SELECT * FROM alkis_base")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW alkis AS WITH {ALKIS_CTE} SELECT * FROM alkis")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW osm AS WITH {OSM_CTE} SELECT * FROM osm")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW history AS WITH {HISTORY_CTE} SELECT * FROM history")
+    for stmt in _split_images_views(images_cte("spark")):
+        spark.sql(stmt)
+
+
+def _split_images_views(cte_text: str) -> list[str]:
+    """Turn the 3-layer images CTE into stacked temp views for Spark."""
+    return [
+        "CREATE OR REPLACE TEMP VIEW images AS WITH " + cte_text + " SELECT * FROM images",
+    ]
+
+
+def duckdb_with(*ctes: str) -> str:
+    """Compose a DuckDB WITH-prelude from CTE snippets (driver oracle side)."""
+    return "WITH " + ",\n".join(ctes)
+
+
+# Ready-made preludes for oracle SQL strings.
+def oracle_prelude_alkis_osm() -> str:
+    return duckdb_with(ALKIS_BASE_CTE, ALKIS_CTE, OSM_CTE)
+
+
+def oracle_prelude_history() -> str:
+    return duckdb_with(HISTORY_CTE)
+
+
+def oracle_prelude_images() -> str:
+    return duckdb_with(images_cte("duckdb"))
