@@ -46,8 +46,14 @@ def main() -> None:
     bench = names.split(",") if names else [q for q in DEFAULT_BENCH if q in registry.QUERIES]
 
     spark = get_spark(app_name="osm_coverage_bench")
-    # warm the JVM/IO once with a trivial action
-    spark.range(1).count()
+    # Warm JIT/codegen on the tiny SF so timed runs measure steady-state
+    # throughput, not one-time whole-stage-codegen compilation.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in bench:
+        try:
+            registry.QUERIES[name](spark, warm_dir).count()
+        except Exception as exc:  # never let warmup kill the bench
+            print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in bench:

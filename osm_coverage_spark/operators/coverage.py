@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_key_expr
+from ..geo.cells import cell_expr, grid_disk
 from ..geo.distance import haversine_m
 from . import expand
 from .corrections import apply_corrections, ensure_correction_columns
@@ -65,29 +66,68 @@ def prepare_osm(alkis_like_osm: DataFrame, aachen: bool = True) -> DataFrame:
     )
 
 
+MATCH_CELL_RES = 17  # lat cell 306 m, lon cell >= 175 m below lat 55
+MATCH_RING_K = 1     # ring-1 at res 17 provably covers the 150 m radius
+
+
 def flag_found(alkis: DataFrame, osm: DataFrame,
-               max_dist_m: float = MATCH_DIST_M) -> DataFrame:
+               max_dist_m: float = MATCH_DIST_M,
+               use_cells: bool = True) -> DataFrame:
     """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
 
-    Both halves are single hash joins on ``key`` with the distance residual;
-    no row ids, no window, duplicate rows retain multiplicity.
-    """
+    Both halves are single hash joins with the haversine residual; no row
+    ids, no window, duplicate ALKIS rows retain multiplicity.
+
+    ``use_cells=True`` (the scale path, per SURVEY §4.1) joins on
+    ``(key, geocell)`` instead of ``key`` alone: the OSM build side is
+    exploded into its ring-1 neighborhood at res 17 (each cell edge >= the
+    match radius at German latitudes, so the ring is a superset of every
+    candidate within 150 m) and the probe hits only geographically adjacent
+    rows. This turns the hot-key quadratic blowup (shared street+number
+    keys across a country: ~100-300 rows/key both sides → ~10^8 candidate
+    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring)."""
     osm_sel = osm.select(
         F.col("key").alias("_okey"),
         F.col("lat").alias("_olat"),
         F.col("lon").alias("_olon"),
     )
-    cond = (F.col("key") == F.col("_okey")) & (
+    dist_ok = (
         haversine_m(F.col("lat"), F.col("lon"), F.col("_olat"), F.col("_olon"))
         < F.lit(max_dist_m)
     )
+    if use_cells:
+        if max_dist_m > MATCH_RING_K * 175.0:
+            raise ValueError(
+                "ring-1/res-17 covers only 175 m; raise MATCH_RING_K for "
+                f"max_dist_m={max_dist_m}"
+            )
+        osm_sel = grid_disk(
+            osm_sel.withColumn(
+                "_ocell", cell_expr(F.col("_olat"), F.col("_olon"), MATCH_CELL_RES)
+            ),
+            "_ocell",
+            MATCH_RING_K,
+            out_col="_onbr",
+        )
+        alkis = alkis.withColumn(
+            "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
+        )
+        cond = (
+            (F.col("key") == F.col("_okey"))
+            & (F.col("_acell") == F.col("_onbr"))
+            & dist_ok
+        )
+    else:
+        cond = (F.col("key") == F.col("_okey")) & dist_ok
+
     found = alkis.join(osm_sel, cond, "left_semi").withColumn(
         "found_in_osm", F.lit(True)
     )
     missing = alkis.join(osm_sel, cond, "left_anti").withColumn(
         "found_in_osm", F.lit(False)
     )
-    return found.unionByName(missing)
+    out = found.unionByName(missing)
+    return out.drop("_acell") if use_cells else out
 
 
 def missing_rows(flagged: DataFrame) -> DataFrame:

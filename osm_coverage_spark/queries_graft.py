@@ -1,0 +1,184 @@
+"""Graft-payload query family: H3-style tiling, cell-ring kNN, phash
+near-dup over the image+caption table (BASELINE.json input_hint schema,
+derived deterministically from `documents` — sources/derived.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .geo import cells
+from .geo.distance import haversine_m_sql
+from .operators.knn import knn_join
+from .sources import derived
+
+TILE_RES = 15   # ~1.2 km cells — per-tile work units
+COARSE_RES = 12  # ~9.6 km cells — hotspot-visible stats
+KNN_RES = 14
+KNN_RING = 1
+PHASH_BAND = 1048576  # 2^20: three 20-bit bands over the 60-bit phash
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_derived_views(spark, sf_dir)
+    return spark.table("images")
+
+
+def q_image_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    return img.select(
+        "image_id",
+        cells.cell_expr(F.col("lat"), F.col("lon"), TILE_RES).alias("cell"),
+    )
+
+
+def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    return (
+        img.withColumn(
+            "cell", cells.cell_expr(F.col("lat"), F.col("lon"), COARSE_RES)
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+def q_knn_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    queries = img.filter(
+        (F.substring(F.col("image_id"), -1, 1) == "0")
+        & (F.substring(F.col("image_id"), -2, 2) != "_b")
+    )
+    return knn_join(img_queries_safe(queries), img, id_col="image_id",
+                    k_neighbors=3, res=KNN_RES, ring_k=KNN_RING)
+
+
+def img_queries_safe(queries: DataFrame) -> DataFrame:
+    return queries.select("image_id", "lat", "lon")
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤2 phash pairs via 3×20-bit band LSH self-join.
+
+    Pigeonhole: any two 60-bit hashes within hamming distance 2 agree on at
+    least one of the three 20-bit bands, so the banded join finds exactly
+    the brute-force result (the DuckDB oracle IS the brute-force cross
+    join — algorithm-diverse verification)."""
+    img = _images(spark, sf_dir).select("image_id", "phash")
+    imgs = img.select(
+        "image_id",
+        "phash",
+        (F.col("phash") % F.lit(PHASH_BAND)).alias("b0"),
+        (F.shiftright(F.col("phash"), 20) % F.lit(PHASH_BAND)).alias("b1"),
+        F.shiftright(F.col("phash"), 40).alias("b2"),
+    )
+    pairs = None
+    for band in ("b0", "b1", "b2"):
+        left = imgs.select(
+            F.col("image_id").alias("id_a"),
+            F.col("phash").alias("ph_a"),
+            F.col(band).alias("_band"),
+        )
+        right = imgs.select(
+            F.col("image_id").alias("id_b"),
+            F.col("phash").alias("ph_b"),
+            F.col(band).alias("_band"),
+        )
+        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.filter(
+            F.bit_count(F.expr("ph_a ^ ph_b")) <= 2
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_image_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    return img.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 4).alias("avg_w"),
+        F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 4).alias("avg_h"),
+        F.count_distinct(
+            cells.cell_expr(F.col("lat"), F.col("lon"), COARSE_RES)
+        ).alias("n_cells"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _prelude() -> str:
+    return derived.oracle_prelude_images()
+
+
+_CELL_TILE = cells.cell_sql("lat", "lon", TILE_RES)
+_CELL_COARSE = cells.cell_sql("lat", "lon", COARSE_RES)
+_CELL_KNN = cells.cell_sql("lat", "lon", KNN_RES)
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["image_tile_assign"] = f"""{_prelude()}
+SELECT image_id, {_CELL_TILE} AS cell FROM images
+"""
+
+ORACLE["image_tile_counts"] = f"""{_prelude()}
+SELECT {_CELL_COARSE} AS cell, CAST(count(*) AS BIGINT) AS n_images
+FROM images GROUP BY 1
+"""
+
+_KNN_DIST = haversine_m_sql("q.lat", "q.lon", "t.lat", "t.lon")
+
+ORACLE["knn_images"] = f"""{_prelude()},
+queries AS (
+  SELECT image_id, lat, lon, {_CELL_KNN} AS qcell FROM images
+  WHERE substr(image_id, length(image_id), 1) = '0'
+    AND substr(image_id, length(image_id) - 1, 2) <> '_b'
+),
+targets AS (
+  SELECT image_id, lat, lon, {_CELL_KNN} AS tcell FROM images
+),
+cand AS (
+  SELECT q.image_id AS query_id, t.image_id AS neighbor_id,
+         round({_KNN_DIST}, 3) AS dist_mm
+  FROM queries q
+  CROSS JOIN (SELECT unnest(generate_series(-{KNN_RING}, {KNN_RING})) AS _dx) _dxs
+  CROSS JOIN (SELECT unnest(generate_series(-{KNN_RING}, {KNN_RING})) AS _dy) _dys
+  JOIN targets t ON t.tcell = q.qcell + _dx * {cells.IX_BASE} + _dy
+  WHERE t.image_id <> q.image_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_mm ASC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+ORACLE["phash_neardup"] = f"""{_prelude()}
+SELECT a.image_id AS id_a, b.image_id AS id_b
+FROM images a JOIN images b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+ORACLE["image_meta_stats"] = f"""{_prelude()}
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS avg_w,
+       round(CAST(sum(h) AS DOUBLE) / count(*), 4) AS avg_h,
+       CAST(count(DISTINCT {_CELL_COARSE}) AS BIGINT) AS n_cells
+FROM images GROUP BY fmt
+"""
+
+QUERIES = {
+    "image_tile_assign": q_image_tile_assign,
+    "image_tile_counts": q_image_tile_counts,
+    "knn_images": q_knn_images,
+    "phash_neardup": q_phash_neardup,
+    "image_meta_stats": q_image_meta_stats,
+}

@@ -7,11 +7,11 @@ rows-only check (non-SQL-expressible op).
 
 from __future__ import annotations
 
-from . import queries_coverage
+from . import queries_coverage, queries_graft
 
 QUERIES = {}
 ORACLE = {}
 
-for mod in (queries_coverage,):
+for mod in (queries_coverage, queries_graft):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
