@@ -232,7 +232,7 @@ stats AS (
 )
 SELECT state, district, total, missing, corrections,
   CASE WHEN total = 0 THEN 100.0
-       ELSE round((total - missing) * 100.0 / total, 1) END AS coverage
+       ELSE round((total - missing) / CAST(total AS DOUBLE) * 100, 1) END AS coverage
 FROM stats
 """
 
@@ -246,7 +246,7 @@ stats AS (
 )
 SELECT state, district, total, missing,
   CASE WHEN total = 0 THEN 100.0
-       ELSE round((total - missing) * 100.0 / total, 1) END AS coverage
+       ELSE round((total - missing) / CAST(total AS DOUBLE) * 100, 1) END AS coverage
 FROM stats
 """
 

@@ -1,0 +1,353 @@
+"""Training-data pipeline query family: text analysis, deduplication
+(exact / MinHash-LSH / SimHash / fingerprint), embedding near-dup and
+brute-force ANN — the large-scale curation ops layered on the engine.
+
+All Spark sides are pure higher-order column expressions (no UDFs, no
+explode except SimHash's token unpivot); every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import text_ops as T
+from .sources import derived
+from .sources.derived import hexn_to_bigint
+
+SIMHASH_BITS = 16
+ANN_K = 5
+COS_THRESHOLD = 0.9999
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_derived_views(spark, sf_dir)
+    return spark.table("docs_dup")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_derived_views(spark, sf_dir)
+    return spark.table("emb_dup")
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = T.words_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(T.BPE_ISH_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = T.words_expr(F.col("text"))
+    n_words = F.size(w)
+    chars_ns = F.length(F.translate(F.col("text"), " ", ""))
+    stop_ratio = T.stopword_count_expr(w) / n_words.cast("double")
+    score = F.round(
+        stop_ratio * 0.4 + F.least(n_words, F.lit(400)) / F.lit(400.0) * 0.6, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(chars_ns / n_words.cast("double"), 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = T.words_expr(F.col("text"))
+    return docs.select(
+        "doc_id", T.lang_pred_expr(w).alias("pred_lang"), F.col("lang")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = T.shingles_expr(T.words_expr(F.col("text")), 3)
+    return (
+        docs.select("doc_id", T.fingerprint_expr(sh).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: 4-component MinHash, 2 bands × 2 rows."""
+    docs = _docs(spark, sf_dir)
+    sh = T.shingles_expr(T.words_expr(F.col("text")), 3)
+    sig = docs.select(
+        "doc_id",
+        *[T.minhash_expr(sh, k).alias(f"mh{k}") for k in range(4)],
+    ).filter(F.col("mh0").isNotNull())
+    sig = sig.select(
+        "doc_id",
+        F.concat("mh0", "mh1").alias("band1"),
+        F.concat("mh2", "mh3").alias("band2"),
+    )
+    pairs = None
+    for band in ("band1", "band2"):
+        left = sig.select(F.col("doc_id").alias("id_a"), F.col(band).alias("_b"))
+        right = sig.select(F.col("doc_id").alias("id_b"), F.col(band).alias("_b"))
+        p = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash: per-token md5-derived bit votes."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.words_expr(F.col("text"))).alias("w")
+    )
+    th = F.expr(hexn_to_bigint("md5(w)", 4, "spark")).alias("th")
+    tok = tok.select("doc_id", th)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    value = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return agg.select("doc_id", value.cast("bigint").alias("simhash"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cos(a_col: str, b_col: str):
+    a = F.col(a_col).cast("array<double>")
+    b = F.col(b_col).cast("array<double>")
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= threshold pairs within the same label bucket (the planted
+    ×2-scaled twins have cosine exactly 1.0)."""
+    emb = _emb(spark, sf_dir)
+    left = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label"
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label"
+    )
+    return (
+        left.join(right, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cos("e_a", "e_b") >= COS_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for query vectors (vec_id % 100 == 0)."""
+    derived.register_derived_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e_q")
+    )
+    targets = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_t")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(targets)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_cos("e_q", "e_t"), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_D = derived.oracle_prelude_docs()
+_E = derived.oracle_prelude_emb()
+
+_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) "
+    "END"
+)
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["dedup_exact"] = f"""{_D}
+SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT) AS n
+FROM docs_dup GROUP BY 1 HAVING count(*) > 1
+"""
+
+ORACLE["token_count"] = f"""{_D}
+SELECT doc_id,
+       CAST(len({_WORDS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_ISH_RE}')) AS INT) AS bpe_tokens
+FROM docs_dup
+"""
+
+_STOP_IN = "('" + "', '".join(T.STOPWORDS) + "')"
+
+ORACLE["text_quality"] = f"""{_D},
+base AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM docs_dup
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    length(translate(text, ' ', '')) AS chars_ns,
+    len(list_filter(w, x -> x IN {_STOP_IN})) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_words,
+  round(chars_ns / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
+  round(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
+  round(n_stop / CAST(n_words AS DOUBLE) * 0.4
+        + least(n_words, 400) / 400.0 * 0.6, 6) AS quality_score
+FROM m
+"""
+
+def _markers_in(lang: str) -> str:
+    return "('" + "', '".join(T.LANG_MARKERS[lang]) + "')"
+
+ORACLE["lang_id"] = f"""{_D},
+base AS (SELECT doc_id, lang, {_WORDS} AS w FROM docs_dup),
+c AS (
+  SELECT doc_id, lang,
+    len(list_filter(w, x -> x IN {_markers_in('de')})) AS c_de,
+    len(list_filter(w, x -> x IN {_markers_in('en')})) AS c_en,
+    len(list_filter(w, x -> x IN {_markers_in('fr')})) AS c_fr
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN c_de > c_en AND c_de > c_fr THEN 'de'
+       WHEN c_fr > c_en THEN 'fr' ELSE 'en' END AS pred_lang,
+  lang
+FROM c
+"""
+
+ORACLE["doc_fingerprint"] = f"""{_D},
+base AS (SELECT doc_id, {_WORDS} AS w FROM docs_dup),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM base)
+SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp
+FROM sh WHERE s IS NOT NULL
+"""
+
+_MH = ", ".join(
+    f"list_min(list_transform(s, x -> md5('{k}|' || x))) AS mh{k}" for k in range(4)
+)
+
+ORACLE["dedup_minhash_lsh"] = f"""{_D},
+base AS (SELECT doc_id, {_WORDS} AS w FROM docs_dup),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM base),
+sig AS (
+  SELECT doc_id, {_MH} FROM sh WHERE s IS NOT NULL
+),
+bands AS (
+  SELECT doc_id, mh0 || mh1 AS band1, mh2 || mh3 AS band2 FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM pairs
+"""
+
+_TH = hexn_to_bigint("md5(w)", 4, "duckdb")
+_VOTES = ", ".join(
+    f"sum(CASE WHEN (th // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_VALUE = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+
+ORACLE["dedup_simhash"] = f"""{_D},
+tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM docs_dup
+),
+th AS (SELECT doc_id, {_TH} AS th FROM tok),
+agg AS (SELECT doc_id, {_VOTES} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_VALUE} AS BIGINT) AS simhash FROM agg
+"""
+
+_DOT_AB = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_DOT_AA = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))"
+_DOT_BB = "list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_COS_SQL = f"({_DOT_AB} / (sqrt({_DOT_AA}) * sqrt({_DOT_BB})))"
+
+ORACLE["neardup_embedding"] = f"""{_E}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb_dup a JOIN emb_dup b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= {COS_THRESHOLD}
+"""
+
+ORACLE["ann_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         round({_COS_SQL.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}, 9) AS sim
+  FROM q a JOIN embeddings b ON a.query_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "neardup_embedding": q_neardup_embedding,
+    "ann_topk": q_ann_topk,
+}

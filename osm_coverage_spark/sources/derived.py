@@ -152,6 +152,32 @@ HISTORY_CTE = """history AS (
 )"""
 
 # --------------------------------------------------------------------------
+# carry_raw — raw combined address strings (street carry-forward splitter
+# input, reference scripts/02_extract_alkis.py:45-135) derived from `part`
+# --------------------------------------------------------------------------
+
+CARRY_RAW_CTE = """carry_raw AS (
+  SELECT p_partkey AS pkey,
+    CASE CAST(p_partkey % 4 AS INT)
+      WHEN 0 THEN 'Hauptstr.'
+      WHEN 1 THEN 'Marktplatz'
+      WHEN 2 THEN 'Alte Gasse'
+      ELSE 'Bergweg' END AS street,
+    CASE CAST(p_partkey % 5 AS INT)
+      WHEN 0 THEN CAST(p_partkey % 30 AS STRING)
+      WHEN 1 THEN CAST(p_partkey % 30 AS STRING) || ', '
+                  || CAST(p_partkey % 30 + 2 AS STRING)
+      WHEN 2 THEN CAST(p_partkey % 30 AS STRING) || ', '
+                  || CAST(p_partkey % 30 + 2 AS STRING)
+                  || ', Nebenweg ' || CAST(p_partkey % 9 AS STRING)
+      WHEN 3 THEN CAST(p_partkey % 30 AS STRING) || '; Neue Allee '
+                  || CAST(p_partkey % 9 AS STRING) || 'b'
+      ELSE 'Ring 5, 7a'
+    END AS housenumber
+  FROM part
+)"""
+
+# --------------------------------------------------------------------------
 # images — graft payload (input_hint schema) derived from `documents`
 # --------------------------------------------------------------------------
 # phash: 15 hex chars of md5 -> BIGINT (dialect-specific hex decode).
@@ -226,6 +252,9 @@ def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(f"CREATE OR REPLACE TEMP VIEW alkis AS WITH {ALKIS_CTE} SELECT * FROM alkis")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW osm AS WITH {OSM_CTE} SELECT * FROM osm")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW history AS WITH {HISTORY_CTE} SELECT * FROM history")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW carry_raw AS WITH {CARRY_RAW_CTE} SELECT * FROM carry_raw")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW docs_dup AS WITH {DOCS_DUP_CTE} SELECT * FROM docs_dup")
+    spark.sql("CREATE OR REPLACE TEMP VIEW emb_dup AS WITH " + emb_dup_cte("spark") + " SELECT * FROM emb_dup")
     for stmt in _split_images_views(images_cte("spark")):
         spark.sql(stmt)
 
@@ -251,5 +280,53 @@ def oracle_prelude_history() -> str:
     return duckdb_with(HISTORY_CTE)
 
 
+def oracle_prelude_carry() -> str:
+    return duckdb_with(CARRY_RAW_CTE)
+
+
 def oracle_prelude_images() -> str:
     return duckdb_with(images_cte("duckdb"))
+
+
+def hexn_to_bigint(hexpr: str, n: int, dialect: str) -> str:
+    """Dialect SQL turning the first ``n`` hex chars of ``hexpr`` into BIGINT
+    (n <= 15 keeps the value inside int64)."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({hexpr}, 1, {n}), 16, 10) AS BIGINT)"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# docs_dup: documents with planted exact duplicates (doc_id % 10 == 0 rows
+# duplicated under shifted ids) - the dedup-operator input.
+DOCS_DUP_CTE = """docs_dup AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def emb_dup_cte(dialect: str) -> str:
+    """embeddings with planted exact near-dups: vec_id % 10 == 0 rows doubled
+    element-wise (cosine == 1.0 exactly in IEEE) under shifted ids."""
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"""emb_dup AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         {fn}(embedding, x -> x * CAST(2 AS FLOAT)) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+
+def oracle_prelude_docs() -> str:
+    return duckdb_with(DOCS_DUP_CTE)
+
+
+def oracle_prelude_emb() -> str:
+    return duckdb_with(emb_dup_cte("duckdb"))
