@@ -25,18 +25,32 @@ from osm_coverage_spark.session import get_spark  # noqa: E402
 # Headline set: the flagship pipeline + one representative per operator
 # family. Kept in sync with registry as families land.
 DEFAULT_BENCH = [
+    # one headline per operator family (SURVEY §2)
     "coverage_missing",
     "coverage_district_stats",
     "coverage_rollup",
+    "corrections_fold",
+    "knn_images",
+    "phash_neardup",
+    "image_tile_counts",
+    "pip_zones",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "history_topk_improvers",
+    "tpch_q1",
+    "tpch_q3",
 ]
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
-    t0 = time.perf_counter()
     df = registry.QUERIES[name](spark, sf_dir)
-    n = df.count()
+    t0 = time.perf_counter()
+    # noop sink: materializes every output column (a bare count() would let
+    # Catalyst prune computed columns and time a hollow plan)
+    df.write.mode("overwrite").format("noop").save()
     dt = time.perf_counter() - t0
-    print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    print(f"  {name}: {dt:.2f}s", file=sys.stderr)
     return dt
 
 
@@ -45,13 +59,17 @@ def main() -> None:
     names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     bench = names.split(",") if names else [q for q in DEFAULT_BENCH if q in registry.QUERIES]
 
+    # sandbox parquet is single-row-group: without a re-split every scan
+    # is one task no matter how many cores (see sources/derived.py)
+    os.environ.setdefault("SPARK_GRAFT_INPUT_PARTITIONS", "64")
     spark = get_spark(app_name="osm_coverage_bench")
     # Warm JIT/codegen on the tiny SF so timed runs measure steady-state
     # throughput, not one-time whole-stage-codegen compilation.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in bench:
         try:
-            registry.QUERIES[name](spark, warm_dir).count()
+            registry.QUERIES[name](spark, warm_dir).write.mode(
+                "overwrite").format("noop").save()
         except Exception as exc:  # never let warmup kill the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 

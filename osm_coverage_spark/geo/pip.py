@@ -1,0 +1,139 @@
+"""Point-in-polygon: geocell bbox-polyfill candidate join + exact ray-cast
+refinement in a vectorized Arrow UDF.
+
+Replaces the reference's GeoPandas sjoin (scripts/02_extract_alkis.py:820-837,
+point-in-district assignment with a left-join fallback name) without shapely:
+the crossing-number test is vectorized over (points × polygon edges) in numpy
+inside ``applyInPandas`` — one pandas batch per polygon group, no per-row
+Python.
+
+Plan shape (SURVEY §4.3):
+1. polygons → bbox → polyfill cells (pure SQL explode) — small table;
+2. points → cell equi-join (broadcast of the polyfill) → candidates;
+3. exact ray-cast per (polygon) group via applyInPandas;
+4. left join back: unmatched points get the fallback name
+   (``kein Stadtteil gefunden`` in the reference, parameterized here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StructField,
+    StructType,
+)
+
+from .cells import cell_expr
+
+
+def ray_cast_batch(px: np.ndarray, py: np.ndarray,
+                   vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Crossing-number PIP for a batch of points against ONE polygon ring.
+
+    px/py: (n,) point coords; vx/vy: (m,) closed-ring vertices (first !=
+    last is fine — the wrap edge is included). Fully vectorized: builds an
+    (n, m) crossing matrix. Boundary points follow the half-open edge rule
+    (consistent, deterministic)."""
+    x1, y1 = vx, vy
+    x2, y2 = np.roll(vx, -1), np.roll(vy, -1)
+    # edge straddles the horizontal line through the point
+    py_col = py[:, None]
+    px_col = px[:, None]
+    straddle = (y1[None, :] > py_col) != (y2[None, :] > py_col)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (py_col - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+            x2[None, :] - x1[None, :]
+        )
+    crossings = (straddle & (px_col < xint)).sum(axis=1)
+    return (crossings % 2) == 1
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str,
+    poly_name: str = "zone",
+    res: int = 12,
+    fallback: str | None = "kein Stadtteil gefunden",
+) -> DataFrame:
+    """points(point_id, lat, lon) × polygons(poly_name, ring:array<struct
+    <lon:double, lat:double>>) → (point_id, poly_name).
+
+    Polygons are polyfilled at bbox level (cheap superset); exact membership
+    decided by the vectorized ray-cast grouped per polygon. ``fallback``
+    mimics the reference's left-join default; pass None for inner semantics.
+    """
+    ring_lon = F.transform(F.col("ring"), lambda p: p["lon"])
+    ring_lat = F.transform(F.col("ring"), lambda p: p["lat"])
+    polys = polygons.select(
+        poly_name,
+        "ring",
+        F.array_min(ring_lat).alias("lat_min"),
+        F.array_max(ring_lat).alias("lat_max"),
+        F.array_min(ring_lon).alias("lon_min"),
+        F.array_max(ring_lon).alias("lon_max"),
+    )
+
+    pts = points.select(
+        point_id,
+        "lat",
+        "lon",
+        cell_expr(F.col("lat"), F.col("lon"), res).alias("_pcell"),
+    )
+    # bbox polyfill: explode the polygon's cell cover (small — polygons are
+    # the dimension side), broadcast-join candidates on cell equality.
+    from .cells import IX_BASE, R_BASE, cell_size_deg
+
+    sz = F.lit(cell_size_deg(res))
+    ix0 = F.floor((F.col("lat_min") + F.lit(90.0)) / sz).cast("long")
+    ix1 = F.floor((F.col("lat_max") + F.lit(90.0)) / sz).cast("long")
+    iy0 = F.floor((F.col("lon_min") + F.lit(180.0)) / sz).cast("long")
+    iy1 = F.floor((F.col("lon_max") + F.lit(180.0)) / sz).cast("long")
+    cover = (
+        polys.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
+        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+        .withColumn(
+            "_pcell",
+            F.lit(res).cast("long") * F.lit(R_BASE)
+            + F.col("_ix") * F.lit(IX_BASE)
+            + F.col("_iy"),
+        )
+        .select(poly_name, "ring", "_pcell")
+    )
+
+    cand = pts.join(F.broadcast(cover), "_pcell")
+
+    schema = StructType(
+        [f for f in cand.schema.fields if f.name in (point_id, "lat", "lon", poly_name)]
+        + [StructField("inside", BooleanType())]
+    )
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        ring = pdf["ring"].iloc[0]
+        vx = np.array([p["lon"] for p in ring], dtype=np.float64)
+        vy = np.array([p["lat"] for p in ring], dtype=np.float64)
+        inside = ray_cast_batch(
+            pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), vx, vy
+        )
+        out = pdf[[point_id, "lat", "lon", poly_name]].copy()
+        out["inside"] = inside
+        return out
+
+    hits = (
+        # group by (polygon, cell): bounds each Arrow batch to one tile of
+        # one polygon, so a country-sized polygon never lands in one task
+        cand.groupBy(poly_name, "_pcell")
+        .applyInPandas(refine, schema)
+        .filter(F.col("inside"))
+        .select(point_id, poly_name)
+    )
+    if fallback is None:
+        return hits
+    out = points.select(point_id).join(hits, point_id, "left")
+    return out.withColumn(
+        poly_name, F.coalesce(F.col(poly_name), F.lit(fallback))
+    )

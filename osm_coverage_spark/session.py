@@ -19,14 +19,17 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    inherit = os.environ.get("SPARK_GRAFT_INHERIT_MASTER") == "1"
+    master = None if inherit else (master or f"local[{cpus}]")
     # In local[N] the shuffle width should track N; on a cluster it tracks
     # total executor cores (AQE coalesces the excess at runtime anyway).
     n_shuffle = shuffle_partitions or max(cpus, 8)
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.default.parallelism", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")

@@ -237,9 +237,21 @@ images AS (
 # --------------------------------------------------------------------------
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the driver's parquet tables as temp views.
+
+    The sandbox files are single-row-group parquet (one scan task no matter
+    how many cores), which starves local[32]; SPARK_GRAFT_INPUT_PARTITIONS
+    re-splits the fact tables after scan to emulate the many-split layout a
+    real lake would have. Dimension-sized tables stay unsplit."""
+    import os
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTITIONS", "0"))
+    wide = {"orders", "lineitem", "events", "documents", "embeddings"}
     dfs = {}
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if n_parts > 0 and t in wide:
+            df = df.repartition(n_parts)
         df.createOrReplaceTempView(t)
         dfs[t] = df
     return dfs
@@ -255,6 +267,7 @@ def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(f"CREATE OR REPLACE TEMP VIEW carry_raw AS WITH {CARRY_RAW_CTE} SELECT * FROM carry_raw")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW docs_dup AS WITH {DOCS_DUP_CTE} SELECT * FROM docs_dup")
     spark.sql("CREATE OR REPLACE TEMP VIEW emb_dup AS WITH " + emb_dup_cte("spark") + " SELECT * FROM emb_dup")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW polys AS WITH {POLYS_CTE} SELECT * FROM polys")
     for stmt in _split_images_views(images_cte("spark")):
         spark.sql(stmt)
 
@@ -330,3 +343,24 @@ def oracle_prelude_docs() -> str:
 
 def oracle_prelude_emb() -> str:
     return duckdb_with(emb_dup_cte("duckdb"))
+
+
+# --------------------------------------------------------------------------
+# polys — district-like rectangle zones derived from `nation` (5x5 grid over
+# the alkis/images extent; bounds offset by 3e-5 deg so no point of the
+# derived lattices ever lands exactly on an edge — keeps the ray-cast PIP
+# equal to the strict-inequality bbox oracle).
+# --------------------------------------------------------------------------
+
+POLYS_CTE = """polys AS (
+  SELECT n_name AS zone,
+    6.0e0 + (n_nationkey % 5) * 0.85e0 + 0.00003e0 AS lon_min,
+    6.0e0 + (n_nationkey % 5) * 0.85e0 + 0.00003e0 + 0.8e0 AS lon_max,
+    50.0e0 + CAST(floor(n_nationkey / 5.0e0) AS BIGINT) * 0.41e0 + 0.00003e0 AS lat_min,
+    50.0e0 + CAST(floor(n_nationkey / 5.0e0) AS BIGINT) * 0.41e0 + 0.00003e0 + 0.38e0 AS lat_max
+  FROM nation
+)"""
+
+
+def oracle_prelude_polys() -> str:
+    return duckdb_with(images_cte("duckdb") + ",\n" + POLYS_CTE)

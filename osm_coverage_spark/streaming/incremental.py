@@ -1,0 +1,70 @@
+"""Structured-Streaming + batch-incremental layer.
+
+The reference is batch with an hourly staleness poll
+(deployment/run_updates.sh:12-60 + check_geofabrik_export_date.py:57-86).
+Spark mapping: (a) a watermark control table + Trigger.AvailableNow batch
+rerun for the pipeline itself, (b) real Structured Streaming for event-shaped
+inputs (windowed counts with late-data watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with a late-data watermark — the
+    streaming analog of the per-day history aggregation."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def run_available_now(stream_out: DataFrame, query_name: str):
+    """Drain all available input once (Trigger.AvailableNow) into a memory
+    sink — the 'poor-man's incremental' rerun as a managed trigger."""
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---- batch-incremental staleness gate (reference exit-code contract) ----
+
+def needs_rerun(spark: SparkSession, control_path: str, export_date: str) -> bool:
+    """ISO-string lexicographic compare, like check_geofabrik_export_date.py:75."""
+    try:
+        last = (
+            spark.read.parquet(control_path)
+            .agg(F.max("export_date"))
+            .collect()[0][0]
+        )
+    except Exception:
+        return True
+    return last is None or export_date > last
+
+
+def mark_processed(spark: SparkSession, control_path: str, export_date: str) -> None:
+    spark.createDataFrame([(export_date,)], "export_date string").write.mode(
+        "append"
+    ).parquet(control_path)

