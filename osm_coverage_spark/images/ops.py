@@ -126,3 +126,35 @@ def frame_sample(images_with_bytes: DataFrame, n_frames: int = 3) -> DataFrame:
     return images_with_bytes.mapInPandas(
         sample_batch, "image_id string, frame int, mean_px double"
     )
+
+
+AUDIO_SCHEMA = "clip_id string, n_samples int, rms double, peak double"
+
+
+def audio_features(clips: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Audio stub: treats the binary column as 16-bit little-endian PCM and
+    computes RMS/peak per clip, numpy-vectorized per Arrow batch. Real codec
+    decode (mp3/flac) is environment-gated exactly like codec.decode_real —
+    the Spark plumbing (binary column in, typed metadata out) is real."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf[bytes_col]):
+                raw = bytes(data)
+                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                if len(pcm) == 0:
+                    rows.append((cid, 0, 0.0, 0.0))
+                    continue
+                x = pcm.astype(np.float64) / 32768.0
+                rows.append(
+                    (
+                        cid,
+                        int(len(pcm)),
+                        round(float(np.sqrt(np.mean(x**2))), 6),
+                        round(float(np.abs(x).max()), 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms", "peak"])
+
+    return clips.mapInPandas(feat, AUDIO_SCHEMA)

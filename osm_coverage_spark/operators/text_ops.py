@@ -16,7 +16,7 @@ can verify each operator end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -34,7 +34,12 @@ def words_expr(text: Column) -> Column:
 
 
 def shingles_expr(words: Column, n: int = 3) -> Column:
-    """Word n-grams as an array (null if fewer than n words)."""
+    """Word n-grams as an array (null if fewer than n words).
+
+    IMPORTANT: pass a MATERIALIZED column (``withColumn`` the words array
+    first), not a nested ``words_expr(...)`` tree — each ``element_at``
+    inside the lambda re-evaluates its input expression, so a nested split
+    turns O(words) into O(words²) (measured 25× on sf0.1 docs)."""
     idx = F.sequence(F.lit(0), F.size(words) - n)
     joined = F.transform(
         idx,
@@ -75,3 +80,23 @@ def lang_pred_expr(words: Column) -> Column:
         .when(c_fr > c_en, F.lit("fr"))
         .otherwise(F.lit("en"))
     )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) rows via posexplode + window lead — ONE tokenization
+    per document. The array-expression route (shingles_expr over a nested
+    words_expr) re-splits the text per element access because Catalyst
+    collapses projections, going quadratic; this is the scalable form for
+    anything that consumes shingles as rows (MinHash, fingerprints)."""
+    tok = df.select(
+        id_col, F.posexplode(words_expr(F.col(text_col))).alias("_pos", "_w")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", j).over(w) for j in range(1, n)]
+    sh = tok.select(
+        id_col,
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("_w", n - 1).over(w).alias("_tail"),
+    )
+    return sh.filter(F.col("_tail").isNotNull()).drop("_tail")

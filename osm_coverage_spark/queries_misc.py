@@ -1,0 +1,242 @@
+"""Remaining SURVEY §2 operators as oracle-paired queries: extraction-stage
+string cleaners (§2.8), schema-normalize projection (§2.2), exact-row /
+subset dedup (§2.4), and the LSH-bucketed ANN scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import normalize as N
+from .sources import derived
+
+NRW_ALLOW = ("Au", "Aa", "Oy", "Ut", "II", "IV", "VI", "IX", "XI")
+ANN_BUCKET_DIMS = 6
+ANN_K = 5
+
+
+def q_remove_ortsteil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`, Ortsteil ...` stripper (02_extract_alkis.py:25-30) applied to
+    synthesized strings carrying the pattern."""
+    derived.register_derived_views(spark, sf_dir)
+    alkis = spark.table("alkis")
+    raw = F.when(
+        F.col("okey") % 3 == 0,
+        F.concat(F.col("street"), F.lit(", Ortsteil "), F.col("district")),
+    ).when(
+        F.col("okey") % 3 == 1,
+        F.concat(F.col("street"), F.lit(", ORTSTEIL Alt-"), F.col("district")),
+    ).otherwise(F.col("street"))
+    return alkis.select(
+        "okey", raw.alias("raw"), N.remove_ortsteil_expr(raw).alias("cleaned")
+    )
+
+
+def q_clean_street_suffixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NRW 2-letter-suffix cleaner (allowlist-gated) + NDS comma-suffix
+    cleaner (02:137-158)."""
+    derived.register_derived_views(spark, sf_dir)
+    alkis = spark.table("alkis")
+    raw = (
+        F.when(F.col("okey") % 5 == 0, F.concat(F.col("street"), F.lit(" Ju")))
+        .when(F.col("okey") % 5 == 1, F.concat(F.col("street"), F.lit(" Au")))
+        .when(F.col("okey") % 5 == 2, F.concat(F.col("street"), F.lit(", Nordseite")))
+        .otherwise(F.col("street"))
+    )
+    return alkis.select(
+        "okey",
+        raw.alias("raw"),
+        N.clean_nrw_suffix_expr(raw).alias("nrw_cleaned"),
+        N.clean_nds_suffix_expr(raw).alias("nds_cleaned"),
+    )
+
+
+def q_schema_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic column-rename projection (02:160-260): map a messy source
+    profile (strasse/hausnr/plz/ort synthesized from customer) onto the
+    canonical street/housenumber/postcode/city schema via coalesce of the
+    known aliases — one deterministic mapping per source profile."""
+    derived.load_testdata(spark, sf_dir)
+    messy = spark.table("customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.when(F.col("c_custkey") % 2 == 0, F.concat(F.lit("Weg "), (F.col("c_custkey") % 50).cast("string"))).alias("strasse"),
+        F.when(F.col("c_custkey") % 2 == 1, F.concat(F.lit("Gasse "), (F.col("c_custkey") % 50).cast("string"))).alias("str_name"),
+        (F.col("c_custkey") % 90 + 1).cast("string").alias("hausnr"),
+        F.concat(F.lit("5"), (F.col("c_custkey") % 9000 + 1000).cast("string")).alias("plz"),
+        F.concat(F.lit("Ort"), (F.col("c_custkey") % 30).cast("string")).alias("ort"),
+    )
+    return messy.select(
+        "ckey",
+        F.coalesce(F.col("strasse"), F.col("str_name")).alias("street"),
+        F.col("hausnr").alias("housenumber"),
+        F.col("plz").alias("postcode"),
+        F.col("ort").alias("city"),
+    ).filter(F.col("street").isNotNull() & (F.trim("street") != ""))
+
+
+def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-row dedup (02:329) + key-subset dedup (03:110-115,228-232) over
+    the derived OSM table, which plants duplicate rows (okey%10==0 twice)."""
+    derived.register_derived_views(spark, sf_dir)
+    osm = spark.table("osm")
+    full = osm.dropDuplicates()
+    subset = osm.dropDuplicates(["street", "housenumber", "lat", "lon"])
+    return full.groupBy().agg(
+        F.count(F.lit(1)).alias("n_full_dedup")
+    ).crossJoin(subset.groupBy().agg(F.count(F.lit(1)).alias("n_subset_dedup"))).crossJoin(
+        osm.groupBy().agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-quantization bucket (first K dims → K-bit code)
+    restricts the search to same-bucket candidates — the IVF/LSH analog of
+    the brute-force `ann_topk`. At 10^12 rows the bucket join replaces the
+    cross join; candidates per query drop by ~2^K."""
+    derived.load_testdata(spark, sf_dir)
+    emb = spark.table("embeddings")
+
+    def bucket(col):
+        b = None
+        for i in range(ANN_BUCKET_DIMS):
+            bit = F.when(F.element_at(col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        return b
+
+    emb = emb.withColumn("bucket", bucket(F.col("embedding")))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e_q"), "bucket"
+    )
+    targets = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_t"), "bucket"
+    )
+    from .queries_text import _cos
+
+    scored = (
+        queries.join(targets, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_cos("e_q", "e_t"), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_A = derived.oracle_prelude_alkis_osm()
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["remove_ortsteil"] = f"""{_A},
+raw AS (
+  SELECT okey,
+    CASE WHEN okey % 3 = 0 THEN street || ', Ortsteil ' || district
+         WHEN okey % 3 = 1 THEN street || ', ORTSTEIL Alt-' || district
+         ELSE street END AS raw
+  FROM alkis
+)
+SELECT okey, raw,
+       trim(regexp_replace(raw, '(?i),\\s*Ortsteil\\s+[^;]+', '', 'g')) AS cleaned
+FROM raw
+"""
+
+# DuckDB's RE2 has no lookahead, so the NRW allowlist is expressed as an
+# explicit token check — same semantics as the Java-regex lookahead.
+_NRW_ALLOW_IN = "('" + "', '".join(NRW_ALLOW) + "')"
+
+ORACLE["clean_street_suffixes"] = f"""{_A},
+raw AS (
+  SELECT okey,
+    CASE WHEN okey % 5 = 0 THEN street || ' Ju'
+         WHEN okey % 5 = 1 THEN street || ' Au'
+         WHEN okey % 5 = 2 THEN street || ', Nordseite'
+         ELSE street END AS raw
+  FROM alkis
+),
+tok AS (
+  SELECT okey, raw,
+    regexp_extract(raw, '\\s+([A-Za-zäöüßÄÖÜ]{{2}})$', 1) AS t
+  FROM raw
+)
+SELECT okey, raw,
+  CASE WHEN t <> '' AND t NOT IN {_NRW_ALLOW_IN}
+       THEN trim(regexp_replace(raw, '\\s+[A-Za-zäöüßÄÖÜ]{{2}}$', '', 'g'))
+       ELSE trim(raw) END AS nrw_cleaned,
+  trim(regexp_replace(raw, ',\\s*[^0-9]+$', '', 'g')) AS nds_cleaned
+FROM tok
+"""
+
+ORACLE["schema_normalize"] = """
+WITH messy AS (
+  SELECT c_custkey AS ckey,
+    CASE WHEN c_custkey % 2 = 0 THEN 'Weg ' || CAST(c_custkey % 50 AS STRING) END AS strasse,
+    CASE WHEN c_custkey % 2 = 1 THEN 'Gasse ' || CAST(c_custkey % 50 AS STRING) END AS str_name,
+    CAST(c_custkey % 90 + 1 AS STRING) AS hausnr,
+    '5' || CAST(c_custkey % 9000 + 1000 AS STRING) AS plz,
+    'Ort' || CAST(c_custkey % 30 AS STRING) AS ort
+  FROM customer
+)
+SELECT ckey, coalesce(strasse, str_name) AS street, hausnr AS housenumber,
+       plz AS postcode, ort AS city
+FROM messy
+WHERE coalesce(strasse, str_name) IS NOT NULL
+  AND trim(coalesce(strasse, str_name)) <> ''
+"""
+
+ORACLE["dedup_rows"] = f"""{_A}
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT * FROM osm)) AS n_full_dedup,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT DISTINCT street, housenumber, lat, lon FROM osm)) AS n_subset_dedup,
+  (SELECT CAST(count(*) AS BIGINT) FROM osm) AS n_raw
+"""
+
+_B_BITS = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END"
+    for i in range(ANN_BUCKET_DIMS)
+)
+_DOT_AB = "list_dot_product(CAST(a.e_q AS DOUBLE[]), CAST(b.e_t AS DOUBLE[]))"
+_DOT_AA = "list_dot_product(CAST(a.e_q AS DOUBLE[]), CAST(a.e_q AS DOUBLE[]))"
+_DOT_BB = "list_dot_product(CAST(b.e_t AS DOUBLE[]), CAST(b.e_t AS DOUBLE[]))"
+
+ORACLE["ann_lsh_bucketed"] = f"""
+WITH eb AS (
+  SELECT vec_id, embedding, ({_B_BITS}) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS e_q, bucket FROM eb WHERE vec_id % 50 = 0
+),
+t AS (
+  SELECT vec_id AS neighbor_id, embedding AS e_t, bucket FROM eb
+),
+scored AS (
+  SELECT a.query_id, b.neighbor_id,
+         round({_DOT_AB} / (sqrt({_DOT_AA}) * sqrt({_DOT_BB})), 9) AS sim
+  FROM q a JOIN t b ON a.bucket = b.bucket AND a.query_id <> b.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+QUERIES = {
+    "remove_ortsteil": q_remove_ortsteil,
+    "clean_street_suffixes": q_clean_street_suffixes,
+    "schema_normalize": q_schema_normalize,
+    "dedup_rows": q_dedup_rows,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+}

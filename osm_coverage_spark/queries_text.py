@@ -83,10 +83,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = T.shingles_expr(T.words_expr(F.col("text")), 3)
     return (
-        docs.select("doc_id", T.fingerprint_expr(sh).alias("fp"))
-        .filter(F.col("fp").isNotNull())
+        T.shingle_rows(docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fp"))
     )
 
 
@@ -98,16 +98,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by far the most expensive fragment of the plan; recomputing it per
     reference would quadruple the hot path (measured 4× at sf0.1)."""
     docs = _docs(spark, sf_dir)
-    docs = docs.withColumn("_sh", T.shingles_expr(T.words_expr(F.col("text")), 3))
-    # explode shingles once and min-aggregate the 4 seeded hashes: one pass
-    # over the shingle stream with map-side partial mins (vs. building 8
-    # intermediate per-doc arrays with transform/array_min — ~4× slower)
-    shingle_rows = docs.filter(F.col("_sh").isNotNull()).select(
-        "doc_id", F.explode("_sh").alias("_s")
-    )
-    sig = shingle_rows.groupBy("doc_id").agg(
+    # shingles as rows (posexplode + lead window: one tokenization per doc),
+    # then one grouped pass computing all 4 seeded minima map-side
+    rows = T.shingle_rows(docs, "doc_id")
+    sig = rows.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("_s")))).alias(f"mh{k}")
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
             for k in range(4)
         ]
     )
