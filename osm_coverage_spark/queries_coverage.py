@@ -85,6 +85,31 @@ def q_coverage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["rollup_stats"].select("state", "district", "total", "missing", "coverage")
 
 
+def q_coverage_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-level aggregates. Faithful to the reference: the global missing
+    count does NOT exclude 'ignored' rows (04:432-436) and coverage rounds
+    to 2 decimals (04:618)."""
+    alkis = _alkis(spark, sf_dir)
+    out = coverage.coverage_pipeline(alkis, _osm(spark))
+    return out["global_stats"].select("state", "alkis", "missing", "corrections", "coverage")
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the streaming windowed aggregation (§2.10): 6-hour
+    event-time windows per event_type."""
+    derived.load_testdata(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_coverage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     alkis = _alkis(spark, sf_dir)
     out = coverage.coverage_pipeline(alkis, _osm(spark))
@@ -250,6 +275,27 @@ SELECT state, district, total, missing,
 FROM stats
 """
 
+ORACLE["coverage_global_stats"] = f"""{_prelude()},
+{_flagged_sql()},
+stats AS (
+  SELECT state,
+    CAST(count(*) AS BIGINT) AS alkis,
+    CAST(sum(CASE WHEN NOT found_in_osm THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+    CAST(0 AS BIGINT) AS corrections
+  FROM flagged GROUP BY state
+)
+SELECT state, alkis, missing, corrections,
+  CASE WHEN alkis = 0 THEN 100.0
+       ELSE round((alkis - missing) / CAST(alkis AS DOUBLE) * 100, 2) END AS coverage
+FROM stats
+"""
+
+ORACLE["events_windowed_counts"] = """
+SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS STRING) AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
 ORACLE["coverage_export"] = f"""{_prelude()},
 {_flagged_sql()}
 SELECT street, housenumber, FALSE AS matched, alkis_id, district, state
@@ -266,4 +312,6 @@ QUERIES = {
     "coverage_district_stats": q_coverage_district_stats,
     "coverage_rollup": q_coverage_rollup,
     "coverage_export": q_coverage_export,
+    "coverage_global_stats": q_coverage_global_stats,
+    "events_windowed_counts": q_events_windowed_counts,
 }

@@ -245,6 +245,10 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     real lake would have. Dimension-sized tables stay unsplit."""
     import os
 
+    # The driver's harness session may not pin a timezone; every derived
+    # date (history, tpch filters) must match DuckDB's UTC-naive timestamps,
+    # so pin it here at query-build time (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     n_parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTITIONS", "0"))
     wide = {"orders", "lineitem", "events", "documents", "embeddings"}
     dfs = {}
