@@ -179,16 +179,21 @@ def global_stats(flagged: DataFrame, osm_count_col_name: str = "osm") -> DataFra
 
 
 def rollup_stats(flagged: DataFrame) -> DataFrame:
-    """state × district rollup in one shuffle (replaces the reference's two
-    separate aggregation passes, 04:471-495 + 617-623)."""
+    """state × district rollup (replaces the reference's two separate
+    aggregation passes, 04:471-495 + 617-623).
+
+    Computed as a rollup over the per-(state, district) PARTIAL sums —
+    counts/sums are associative, so rolling up the ~|districts| partial rows
+    is exact and avoids re-scanning the raw rows for each grouping level."""
     not_found = ~F.col("found_in_osm")
     not_ignored = F.coalesce(F.col("correction_type"), F.lit("")) != "ignored"
+    partial = flagged.groupBy("state", "district").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(not_found & not_ignored, 1).otherwise(0)).alias("_m"),
+    )
     return (
-        flagged.rollup("state", "district")
-        .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.when(not_found & not_ignored, 1).otherwise(0)).alias("missing"),
-        )
+        partial.rollup("state", "district")
+        .agg(F.sum("_t").alias("total"), F.sum("_m").alias("missing"))
         .withColumn(
             "coverage",
             F.when(F.col("total") == 0, F.lit(100.0)).otherwise(
