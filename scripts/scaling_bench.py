@@ -124,6 +124,9 @@ def main() -> None:
         "math, hash mixing, tiling arithmetic — is the resource a cluster",
         "actually multiplies, so the kernels are the faithful proxy; the",
         "pipeline rows are included unadjusted for transparency.",
+        "",
+        "Headline pipeline throughput for the BASELINE.json metric lives in",
+        "`BENCH/THROUGHPUT.md` (refreshed from solo `python bench.py` runs).",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
