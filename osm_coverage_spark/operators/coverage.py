@@ -6,13 +6,13 @@ Aachen explode → range expansion → key derivation (+ OSM housename variants)
 missing set → per-district and global stats.
 
 Spark re-expression: the 50k-row driver chunk loop (04:401-422) disappears —
-partitioned execution is the chunking. The matched/missing split is a
-left-semi + left-anti join pair on the normalized key with the haversine
-threshold as residual join condition; Catalyst plans both as hash joins
-(broadcast when the OSM side is small, sort-merge + AQE skew-split
-otherwise) and prunes the OSM side to ``(key, lat, lon)`` automatically.
-Duplicated ALKIS rows keep their multiplicity through semi/anti joins, which
-is exactly the reference's per-row ``found_in_osm`` flag semantics.
+partitioned execution is the chunking. The matched/missing split is ONE
+aggregated-exists pass: the OSM side collapses to one row per (key, cell)
+carrying its distinct candidate coordinates, one left-outer hash join
+attaches them, and the distance residual is an ``F.exists`` over the array
+(see ``flag_found``). Duplicated ALKIS rows keep their multiplicity (the
+aggregated side is unique per join key), matching the reference's per-row
+``found_in_osm`` flag semantics.
 """
 
 from __future__ import annotations
@@ -75,8 +75,17 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
                use_cells: bool = True) -> DataFrame:
     """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
 
-    Both halves are single hash joins with the haversine residual; no row
-    ids, no window, duplicate ALKIS rows retain multiplicity.
+    Single-pass aggregated-exists plan: the OSM side is collapsed to ONE row
+    per join key carrying the distinct candidate coordinates as an array
+    (``collect_set(struct(lat, lon))``), the ALKIS side left-outer-joins it
+    (exactly one output row per input row — multiplicity preserved for free),
+    and the haversine residual runs as ``F.exists`` over the array — a
+    codegen higher-order function, no second join, no post-join groupBy.
+    Versus the earlier semi+anti pair this halves the shuffles of the
+    dominant stage (each of semi/anti re-shuffled BOTH sides) and scans the
+    probe side once; the groupBy output partitioning equals the join key, so
+    EnsureRequirements reuses it and the aggregated side is never
+    re-exchanged.
 
     ``use_cells=True`` (the scale path, per SURVEY §4.1) joins on
     ``(key, geocell)`` instead of ``key`` alone: the OSM build side is
@@ -85,15 +94,13 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
     candidate within 150 m) and the probe hits only geographically adjacent
     rows. This turns the hot-key quadratic blowup (shared street+number
     keys across a country: ~100-300 rows/key both sides → ~10^8 candidate
-    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring)."""
+    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring); the
+    candidate array per (key, ring-cell) is geographically bounded (same
+    normalized address key within ~300 m), so no degenerate giant rows."""
     osm_sel = osm.select(
         F.col("key").alias("_okey"),
         F.col("lat").alias("_olat"),
         F.col("lon").alias("_olon"),
-    )
-    dist_ok = (
-        haversine_m(F.col("lat"), F.col("lon"), F.col("_olat"), F.col("_olon"))
-        < F.lit(max_dist_m)
     )
     if use_cells:
         if max_dist_m > MATCH_RING_K * 175.0:
@@ -112,22 +119,28 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
         alkis = alkis.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
         )
-        cond = (
-            (F.col("key") == F.col("_okey"))
-            & (F.col("_acell") == F.col("_onbr"))
-            & dist_ok
-        )
+        group_keys = ["_okey", "_onbr"]
+        cond = (F.col("key") == F.col("_okey")) & (F.col("_acell") == F.col("_onbr"))
     else:
-        cond = (F.col("key") == F.col("_okey")) & dist_ok
+        group_keys = ["_okey"]
+        cond = F.col("key") == F.col("_okey")
 
-    found = alkis.join(osm_sel, cond, "left_semi").withColumn(
-        "found_in_osm", F.lit(True)
+    cands = osm_sel.groupBy(*group_keys).agg(
+        F.collect_set(F.struct(F.col("_olat"), F.col("_olon"))).alias("_cands")
     )
-    missing = alkis.join(osm_sel, cond, "left_anti").withColumn(
-        "found_in_osm", F.lit(False)
+    near = F.exists(
+        F.col("_cands"),
+        lambda c: haversine_m(F.col("lat"), F.col("lon"), c["_olat"], c["_olon"])
+        < F.lit(max_dist_m),
     )
-    out = found.unionByName(missing)
-    return out.drop("_acell") if use_cells else out
+    out = (
+        alkis.join(cands, cond, "left_outer")
+        .withColumn("found_in_osm", F.coalesce(near, F.lit(False)))
+        .drop("_okey", "_cands")
+    )
+    if use_cells:
+        out = out.drop("_acell", "_onbr")
+    return out
 
 
 def missing_rows(flagged: DataFrame) -> DataFrame:

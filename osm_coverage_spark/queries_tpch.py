@@ -49,9 +49,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders").filter(F.col("o_orderdate") < Q3_DATE)
     li = spark.table("lineitem").filter(F.col("l_shipdate") > Q3_DATE)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # No broadcast hints: orders and customer are fact-scale tables (they
+    # grow with SF and would OOM executors at 100×). AQE picks broadcast at
+    # runtime when the filtered side actually fits; at scale this is a
+    # sort-merge join with map-side-pushed filters on both sides.
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -66,7 +70,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume: 6-way join with broadcast dims."""
+    """Local-supplier volume: 6-way join.
+
+    Broadcast hints ONLY on the constant-cardinality dims (region: 5 rows,
+    nation: 25 rows — fixed regardless of SF). customer / orders / supplier
+    all scale linearly with SF, so their join strategy is left to AQE's
+    runtime size decision; hard-coding broadcast there OOMs at 100×."""
     derived.load_testdata(spark, sf_dir)
     r = spark.table("region").filter(F.col("r_name") == Q5_REGION)
     n = spark.table("nation").join(
@@ -80,10 +89,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.table("supplier")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -115,8 +124,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by order value (orderBy+limit / TakeOrdered)."""
     o = _t(spark, sf_dir, "orders")
     c = spark.table("customer")
+    # customer scales with SF — no broadcast hint; AQE decides at runtime.
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),

@@ -24,22 +24,50 @@ def test_parquet_filter_and_column_pushdown(spark, sf_dir):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_flagship_join_is_hash_on_key_and_cell(spark, sf_dir):
+def test_flagship_join_is_single_hash_on_key_and_cell(spark, sf_dir):
     df = queries_coverage.q_coverage_missing(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
-    # the missing-set is the anti join on the composite (key, cell) equi-
-    # condition (hash join, not a nested-loop over the distance predicate)
-    assert "LeftAnti" in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the matched/missing flag is ONE aggregated-exists pass: exactly one
+    # ALKIS-vs-OSM join (left outer, hash/SMJ on the (key, cell) equi-keys),
+    # not the old semi+anti pair that shuffled both sides twice
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert "LeftOuter" in plan
     assert "_onbr" in plan  # ring-expanded cell key participates in the join
 
 
-def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
-    df = queries_tpch.q_tpch_q3(spark, sf_dir)
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+def test_tpch_fact_tables_not_hint_broadcast(spark, sf_dir):
+    """Broadcast of fact-scale tables must come only from AQE's runtime size
+    decision, never a hard-coded hint (a hint OOMs at 100× SF). With the
+    auto-broadcast thresholds disabled, any BroadcastExchange left in the
+    plan is hint-forced — q3/top_customers must have none, q5 exactly its
+    two constant-size dims (region→nation, nation→customer)."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        assert "BroadcastExchange" not in _plan(queries_tpch.q_tpch_q3(spark, sf_dir))
+        assert "BroadcastExchange" not in _plan(
+            queries_tpch.q_top_customers(spark, sf_dir)
+        )
+        q5 = _plan(queries_tpch.q_tpch_q5(spark, sf_dir))
+        assert q5.count("BroadcastExchange") == 2, q5
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_wholestage_codegen_covers_normalize_chain(spark, sf_dir):
