@@ -62,6 +62,61 @@ def test_resume_skips_completed_cells(spark, sf_dir):
         assert set(led.select("run_id").distinct().toPandas().run_id) >= {"r1", "r2"}
 
 
+def test_crash_between_result_and_ledger_writes_no_duplicates(spark, sf_dir):
+    """Kill the job between the results write and the ledger write: on
+    resume the in-flight cells are re-processed and their output REPLACED
+    (dynamic partition overwrite), never appended twice; ledger out_rows
+    match the actual final per-cell output exactly."""
+    with tempfile.TemporaryDirectory() as tmp:
+        out, ledger = f"{tmp}/out", f"{tmp}/ledger"
+        work = _work(spark, sf_dir)
+
+        # run 1 completes normally on even cells
+        checkpoint.run_with_resume(
+            spark, work.filter(F.col("cell") % 2 == 0), _process, out, ledger,
+            run_id="r1",
+        )
+
+        # crash: results for the odd cells hit disk (and are even WRONG —
+        # computed from a partial input, as a half-written task would be),
+        # but the ledger write never happened
+        crashed = work.filter(
+            (F.col("cell") % 2 == 1) & (F.col("image_id") > "a")
+        )
+        checkpoint.write_results(_process(crashed), out)
+
+        # resume over the full work list: odd cells absent from the ledger
+        # are re-processed from the FULL input, overwriting the crash debris
+        checkpoint.run_with_resume(spark, work, _process, out, ledger, run_id="r2")
+
+        resumed = spark.read.parquet(out)
+        fresh = _process(work)
+        assert resumed.count() == fresh.count()  # no appended duplicates
+        assert [r.asDict() for r in resumed.orderBy("cell").collect()] == [
+            r.asDict() for r in fresh.orderBy("cell").collect()
+        ], "crash debris must be replaced by the resumed recompute"
+
+        # ledger accounting is exact: out_rows per cell == rows on disk
+        led = spark.read.parquet(ledger).select("cell", "out_rows")
+        disk = resumed.groupBy("cell").agg(F.count(F.lit(1)).alias("disk_rows"))
+        bad = led.join(disk, "cell").filter(
+            F.col("out_rows") != F.col("disk_rows")
+        )
+        assert bad.count() == 0
+
+
+def test_read_ledger_propagates_real_failures(spark, tmp_path):
+    import pytest
+
+    missing = str(tmp_path / "nope")
+    assert checkpoint.read_ledger(spark, missing).count() == 0  # path-missing OK
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-0.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        checkpoint.read_ledger(spark, str(corrupt)).collect()
+
+
 def test_streaming_windowed_counts(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 100).load()
