@@ -44,16 +44,18 @@ def _collect_ref_points(df: DataFrame, corrections: list[dict[str, Any]]) -> dic
     ref_ids = [c["reference_alkis_id"] for c in corrections if "reference_alkis_id" in c]
     if not ref_ids:
         return {}
+    # Duplicate alkis_ids (ids hash %.3f-rounded coords) can carry slightly
+    # different lon/lat; the reference's iloc[0] takes whatever row pandas
+    # saw first, which is partition-order nondeterministic in Spark. Pin the
+    # lexicographic (lon, lat) minimum per id — deterministic at any
+    # parallelism, mirrored by the DuckDB oracle.
     rows = (
         df.filter(F.col("alkis_id").isin(ref_ids))
-        .select("alkis_id", "lon", "lat")
+        .groupBy("alkis_id")
+        .agg(F.min(F.struct("lon", "lat")).alias("_p"))
         .collect()
     )
-    out: dict[str, tuple[float, float]] = {}
-    for r in rows:  # first occurrence wins, like the reference's iloc[0]
-        if r["alkis_id"] not in out:
-            out[r["alkis_id"]] = (r["lon"], r["lat"])
-    return out
+    return {r["alkis_id"]: (r["_p"]["lon"], r["_p"]["lat"]) for r in rows}
 
 
 def apply_corrections(df: DataFrame, corrections: list[dict[str, Any]]) -> DataFrame:

@@ -9,7 +9,7 @@ repartition), per SURVEY §4.2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,65 @@ def salted(
         .drop("_hot_cell")
     )
     return out.repartition(F.col(cell_col), F.col("salt"))
+
+
+def banded_self_pairs(
+    df: DataFrame,
+    band_cols: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    hot_threshold: int = 64,
+    target_block: int = 64,
+) -> DataFrame:
+    """All ordered pairs (id_a < id_b) within each band bucket — EXACT, with
+    degenerate buckets spread across tasks.
+
+    The LSH families (MinHash bands, phash bands) self-join on a band value;
+    a boilerplate bucket of S rows emits S² candidate pairs, and a plain
+    equi-join hands the whole bucket to ONE task — the quadratic hot key
+    that kills the job at 10^12 rows. Guard (results provably unchanged):
+
+    - bucket sizes come from a window count over the band key (same shuffle
+      key as the join, so Catalyst reuses one exchange for every branch —
+      no persist, no second computation of the band table);
+    - cold buckets (≤ ``hot_threshold`` rows) join as before;
+    - hot buckets split into ``ceil(S / target_block)`` blocks: the right
+      side hashes each row to one block, the left side replicates each row
+      to every block, and the join key gains the block id — per-task pair
+      count drops from S² to S × target_block (linear in S), task count
+      grows to S / target_block. Every pair appears exactly once (a row's
+      block is a function of its id).
+
+    Returns columns ``id_a, id_b`` plus ``<p>_a, <p>_b`` per payload column.
+    Pairs found via multiple bands are NOT deduped here — callers
+    ``.distinct()`` after their residual filter, as before."""
+    w = Window.partitionBy(*band_cols)
+    sized = df.withColumn("_bn", F.count(F.lit(1)).over(w))
+
+    def side(d: DataFrame, suffix: str, blk=None) -> DataFrame:
+        cols = [F.col(id_col).alias(f"id_{suffix}")]
+        cols += [F.col(p).alias(f"{p}_{suffix}") for p in payload_cols]
+        cols += [F.col(c) for c in band_cols]
+        if blk is not None:
+            cols.append(blk.alias("_blk"))
+        return d.select(*cols)
+
+    out_cols = [f"id_{s}" for s in "ab"] + [
+        f"{p}_{s}" for p in payload_cols for s in "ab"
+    ]
+    lt = F.col("id_a") < F.col("id_b")
+
+    cold = sized.filter(F.col("_bn") <= hot_threshold)
+    pairs = side(cold, "a").join(side(cold, "b"), band_cols).filter(lt)
+
+    hot = sized.filter(F.col("_bn") > hot_threshold)
+    n_blk = F.ceil(F.col("_bn") / F.lit(target_block)).cast("long")
+    left_h = side(hot, "a", blk=F.explode(F.sequence(F.lit(0).cast("long"), n_blk - 1)))
+    right_h = side(hot, "b", blk=F.pmod(F.xxhash64(F.col(id_col)), n_blk))
+    pairs_hot = (
+        left_h.join(right_h, band_cols + ["_blk"]).filter(lt).drop("_blk")
+    )
+    return pairs.select(out_cols).unionByName(pairs_hot.select(out_cols))
 
 
 def salted_cell_counts(

@@ -63,8 +63,15 @@ def q_carry_forward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_REF_LON = "(SELECT min_by(lon, alkis_id) FROM alkis WHERE street = 'Hauptstraße')"
-_REF_LAT = "(SELECT min_by(lat, alkis_id) FROM alkis WHERE street = 'Hauptstraße')"
+# Reference row = min alkis_id among 'Hauptstraße' rows; its coordinates are
+# the lexicographic (lon, lat) minimum across duplicate-id rows — the same
+# deterministic tie-break operators/corrections._collect_ref_points uses.
+_REF_ID = "(SELECT min(alkis_id) FROM alkis WHERE street = 'Hauptstraße')"
+_REF_LON = f"(SELECT min(lon) FROM alkis WHERE alkis_id = {_REF_ID})"
+_REF_LAT = (
+    f"(SELECT min(lat) FROM alkis WHERE alkis_id = {_REF_ID} "
+    f"AND lon = {_REF_LON})"
+)
 
 ORACLE: dict[str, str] = {}
 

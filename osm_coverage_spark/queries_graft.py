@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from .geo import cells
 from .geo.distance import haversine_m_sql
 from .operators.knn import knn_join
+from .operators.skew import banded_self_pairs
 from .sources import derived
 
 TILE_RES = 15   # ~1.2 km cells — per-tile work units
@@ -64,33 +65,39 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: any two 60-bit hashes within hamming distance 2 agree on at
     least one of the three 20-bit bands, so the banded join finds exactly
     the brute-force result (the DuckDB oracle IS the brute-force cross
-    join — algorithm-diverse verification)."""
+    join — algorithm-diverse verification). Bands are unpivoted to
+    (band_no, band_val) rows and paired through the hot-bucket-guarded
+    self-join (operators/skew.banded_self_pairs): a degenerate band (e.g. a
+    black-frame phash shared by millions of images) is block-split across
+    tasks instead of emitting S² pairs in one."""
     img = _images(spark, sf_dir).select("image_id", "phash")
-    imgs = img.select(
+    bands = img.select(
         "image_id",
         "phash",
-        (F.col("phash") % F.lit(PHASH_BAND)).alias("b0"),
-        (F.shiftright(F.col("phash"), 20) % F.lit(PHASH_BAND)).alias("b1"),
-        F.shiftright(F.col("phash"), 40).alias("b2"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_no"),
+                    (F.col("phash") % F.lit(PHASH_BAND)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_no"),
+                    (F.shiftright(F.col("phash"), 20) % F.lit(PHASH_BAND)).alias(
+                        "band_val"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_no"),
+                    F.shiftright(F.col("phash"), 40).alias("band_val"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("image_id", "phash", "_b.band_no", "_b.band_val")
+    pairs = banded_self_pairs(
+        bands, ["band_no", "band_val"], "image_id", payload_cols=("phash",)
     )
-    pairs = None
-    for band in ("b0", "b1", "b2"):
-        left = imgs.select(
-            F.col("image_id").alias("id_a"),
-            F.col("phash").alias("ph_a"),
-            F.col(band).alias("_band"),
-        )
-        right = imgs.select(
-            F.col("image_id").alias("id_b"),
-            F.col("phash").alias("ph_b"),
-            F.col(band).alias("_band"),
-        )
-        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
     return (
-        pairs.filter(
-            F.bit_count(F.expr("ph_a ^ ph_b")) <= 2
-        )
+        pairs.filter(F.bit_count(F.expr("phash_a ^ phash_b")) <= 2)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import text_ops as T
+from .operators.skew import banded_self_pairs
 from .sources import derived
 from .sources.derived import hexn_to_bigint
 
@@ -93,10 +94,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: 4-component MinHash, 2 bands × 2 rows.
 
-    The signature table is persisted before the band self-joins — it is
-    referenced four times (2 bands × 2 sides) and the shingle+md5 chain is
-    by far the most expensive fragment of the plan; recomputing it per
-    reference would quadruple the hot path (measured 4× at sf0.1)."""
+    Bands are UNPIVOTED to (band_no, band_val) rows and paired through ONE
+    hot-bucket-guarded self-join (operators/skew.banded_self_pairs). The
+    expensive shingle+md5 signature chain sits below a single shuffle-by-band
+    exchange that Catalyst reuses for every join side — no persist (the old
+    cached-signature form leaked cached blocks across long-lived sessions),
+    no recompute, and a degenerate band bucket (boilerplate docs sharing a
+    band) is block-split instead of handed to one task as S² pairs."""
     docs = _docs(spark, sf_dir)
     # shingles as rows (posexplode + lead window: one tokenization per doc),
     # then one grouped pass computing all 4 seeded minima map-side
@@ -107,17 +111,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ]
     )
-    sig = sig.select(
+    bands = sig.select(
         "doc_id",
-        F.concat("mh0", "mh1").alias("band1"),
-        F.concat("mh2", "mh3").alias("band2"),
-    ).persist()
-    pairs = None
-    for band in ("band1", "band2"):
-        left = sig.select(F.col("doc_id").alias("id_a"), F.col(band).alias("_b"))
-        right = sig.select(F.col("doc_id").alias("id_b"), F.col(band).alias("_b"))
-        p = left.join(right, "_b").filter(F.col("id_a") < F.col("id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("band_no"),
+                    F.concat("mh0", "mh1").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_no"),
+                    F.concat("mh2", "mh3").alias("band_val"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band_no", "_b.band_val")
+    pairs = banded_self_pairs(bands, ["band_no", "band_val"], "doc_id")
     return pairs.select("id_a", "id_b").distinct()
 
 
@@ -155,21 +164,57 @@ def _cos(a_col: str, b_col: str):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+SIGN_BAND_DIMS = 8  # dims per sign-LSH band (2 bands → dims 1-8 and 9-16)
+
+
+def _sign_band(col, lo: int, n: int):
+    """n-bit code from the signs of components lo+1 .. lo+n (1-based)."""
+    b = None
+    for j in range(n):
+        bit = F.when(F.element_at(col, lo + j + 1) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+        b = bit if b is None else b + bit
+    return b
+
+
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine >= threshold pairs within the same label bucket (the planted
-    ×2-scaled twins have cosine exactly 1.0)."""
+    """Cosine >= threshold pairs blocked by sign-LSH bands — the SCALE
+    method, not a ground-truth key: two 8-dim sign-pattern bands (random
+    hyperplane LSH with axis-aligned planes), candidates = same band value
+    in either band, exact cosine as the residual. A positive-scalar
+    near-dup (the planted ×2 twins, cosine exactly 1.0) preserves every
+    component sign, so both bands are guaranteed collisions; general
+    near-dup recall follows the standard banded-LSH tradeoff (more bands →
+    higher recall). Hot band buckets are block-split (banded_self_pairs)."""
     emb = _emb(spark, sf_dir)
-    left = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label"
-    )
-    right = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label"
+    bands = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("band_no"),
+                    _sign_band(F.col("embedding"), 0, SIGN_BAND_DIMS).alias(
+                        "band_val"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_no"),
+                    _sign_band(
+                        F.col("embedding"), SIGN_BAND_DIMS, SIGN_BAND_DIMS
+                    ).alias("band_val"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("vec_id", "embedding", "_b.band_no", "_b.band_val")
+    pairs = banded_self_pairs(
+        bands, ["band_no", "band_val"], "vec_id", payload_cols=("embedding",)
     )
     return (
-        left.join(right, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_cos("e_a", "e_b") >= COS_THRESHOLD)
+        pairs.filter(_cos("embedding_a", "embedding_b") >= COS_THRESHOLD)
         .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -323,10 +368,29 @@ _DOT_AA = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS D
 _DOT_BB = "list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 _COS_SQL = f"({_DOT_AB} / (sqrt({_DOT_AA}) * sqrt({_DOT_BB})))"
 
-ORACLE["neardup_embedding"] = f"""{_E}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM emb_dup a JOIN emb_dup b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+def _sign_band_sql(lo: int, n: int) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN embedding[{lo + j + 1}] > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n)
+    ) + ")"
+
+
+ORACLE["neardup_embedding"] = f"""{_E},
+eb AS (
+  SELECT vec_id, embedding,
+         {_sign_band_sql(0, SIGN_BAND_DIMS)} AS band1,
+         {_sign_band_sql(SIGN_BAND_DIMS, SIGN_BAND_DIMS)} AS band2
+  FROM emb_dup
+),
+bands AS (
+  SELECT vec_id, embedding, 1 AS band_no, band1 AS band_val FROM eb
+  UNION ALL
+  SELECT vec_id, embedding, 2 AS band_no, band2 AS band_val FROM eb
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_val = b.band_val
+ AND a.vec_id < b.vec_id
 WHERE {_COS_SQL} >= {COS_THRESHOLD}
 """
 

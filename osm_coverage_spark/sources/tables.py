@@ -79,12 +79,22 @@ def merge_upsert(
     current = read_table(spark, target)
     keep = current.join(updates.select(*key_cols), list(key_cols), "left_anti")
     merged = keep.unionByName(updates)
-    # parquet has no transactional replace: write to a temp dir then swap
+    # parquet has no transactional replace: write to a temp dir, move the
+    # old target to a backup, move the new one into place, drop the backup —
+    # a crash at any point leaves either the old or the new table intact
+    # (never neither, which rmtree-then-rename risked)
     import os
     import shutil
     import uuid
 
-    tmp = f"{target}__merge_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{target}__merge_{token}"
+    bak = f"{target}__bak_{token}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target)
-    os.rename(tmp, target)
+    os.rename(target, bak)
+    try:
+        os.rename(tmp, target)
+    except Exception:
+        os.rename(bak, target)  # roll back; tmp left behind for inspection
+        raise
+    shutil.rmtree(bak)

@@ -77,6 +77,56 @@ def test_wholestage_codegen_covers_normalize_chain(spark, sf_dir):
     assert "*(1)" in _plan(df)
 
 
+def test_banded_self_pairs_hot_bucket_guard(spark):
+    """Planted degenerate band bucket (200 rows sharing one band value):
+    results identical to the naive all-pairs join, but the hot bucket is
+    block-split so no single task owns the S² pair generation."""
+    rows = [(f"d{i:04d}", 1, "HOT") for i in range(200)]
+    rows += [(f"e{i:02d}", 1, f"c{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, band_no int, band_val string")
+
+    pairs = skew.banded_self_pairs(
+        df, ["band_no", "band_val"], "id", hot_threshold=64, target_block=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    by_band = {}
+    for i, _, b in rows:
+        by_band.setdefault(b, []).append(i)
+    expect = {
+        (a, c)
+        for ids in by_band.values()
+        for a in ids
+        for c in ids
+        if a < c
+    }
+    assert got == expect
+
+    # block-splitting evidence: the hot bucket's right side spreads over
+    # ceil(200/16)=13 hash blocks; the largest (band, block) task then
+    # pairs 200 left rows against <= max_block rows instead of 200×200
+    n_blk = -(-200 // 16)
+    blocks = (
+        df.filter(F.col("band_val") == "HOT")
+        .groupBy(F.pmod(F.xxhash64("id"), F.lit(n_blk)).alias("blk"))
+        .count()
+        .collect()
+    )
+    max_block = max(r["count"] for r in blocks)
+    assert len(blocks) > 1 and max_block < 60  # ~15 avg, hash-balanced
+    assert 200 * max_block < 200 * 199 / 2  # per-task pairs ≪ unguarded S²
+
+
+def test_minhash_signature_exchange_reused_not_persisted(spark, sf_dir):
+    """The band table feeds four join sides; the expensive shingle+md5
+    signature chain must be computed once via exchange reuse (the old
+    persist() leaked cached blocks across long-lived sessions)."""
+    from osm_coverage_spark import queries_text
+
+    df = queries_text.q_dedup_minhash_lsh(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse decisions in this plan's final form
+    assert "ReusedExchange" in _plan(df)
+
+
 def test_salted_counts_equal_direct_groupby(spark, sf_dir):
     derived.register_derived_views(spark, sf_dir)
     img = spark.table("images").withColumn(
