@@ -53,6 +53,46 @@ def retro_propagate(history: DataFrame, deltas: DataFrame,
     )
 
 
+def adjust_history(history: DataFrame, new_entries: DataFrame,
+                   scale: int = 1) -> DataFrame:
+    """``--adjust-history`` retro-propagation (04:529-572 districts,
+    04:661-702 global): the new run's (total, missing, corrections) are
+    diffed against each name's LATEST history entry, then every past row of
+    that name gets, in the reference's order:
+
+    1. unconditional corrections propagation — ``corrections += Δc``,
+       ``missing = max(missing − Δc, 0)`` (clamped);
+    2. the flag-gated residual logic shift — ``total += Δt``,
+       ``missing += Δm + Δc`` (UNclamped, faithfully — the reference does
+       not clamp this step);
+
+    coverage recomputed last. ``new_entries``: one row per name with the
+    current run's (name, total, missing, corrections); callers upsert them
+    afterwards, exactly like the reference appends after adjusting.
+
+    One groupBy for the latest-entry lookup + a broadcast join of the
+    per-name deltas (names ≈ districts — bounded, dimension-sized)."""
+    ref = history.groupBy("name").agg(
+        F.max_by("total", "date").alias("_rt"),
+        F.max_by("missing", "date").alias("_rm"),
+        F.max_by("corrections", "date").alias("_rc"),
+    )
+    deltas = new_entries.join(ref, "name").select(
+        "name",
+        (F.col("total") - F.col("_rt")).alias("_dt"),
+        (F.col("missing") - F.col("_rm")).alias("_dm"),
+        (F.col("corrections") - F.col("_rc")).alias("_dc"),
+    )
+    j = history.join(F.broadcast(deltas), "name", "inner")
+    j = j.withColumn("corrections", F.col("corrections") + F.col("_dc"))
+    j = j.withColumn("missing", F.greatest(F.col("missing") - F.col("_dc"), F.lit(0)))
+    j = j.withColumn("total", F.col("total") + F.col("_dt"))
+    j = j.withColumn("missing", F.col("missing") + F.col("_dm") + F.col("_dc"))
+    return j.withColumn(
+        "coverage", coverage_expr(F.col("total"), F.col("missing"), scale)
+    ).drop("_dt", "_dm", "_dc")
+
+
 def topk_improvers(history: DataFrame, days: int = 7, k: int = 10) -> DataFrame:
     """Per name: latest entry vs the first entry dated >= latest - N days
     (fallback: oldest); delta = past.missing - latest.missing; top-k desc.

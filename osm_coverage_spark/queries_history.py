@@ -42,6 +42,28 @@ def q_history_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_history_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--adjust-history variant: deterministic synthetic 'current run' per
+    name shifts total by len%5-2, missing by len%4-1, corrections by len%3;
+    all past rows absorb the corrections delta (clamped) plus the residual
+    total/missing shift (unclamped), coverage recomputed."""
+    hist = _history(spark, sf_dir)
+    latest = hist.groupBy("name").agg(
+        F.max_by("total", "date").alias("total"),
+        F.max_by("missing", "date").alias("missing"),
+        F.max_by("corrections", "date").alias("corrections"),
+    )
+    new_entries = latest.select(
+        "name",
+        (F.col("total") + F.length("name") % 5 - 2).alias("total"),
+        (F.col("missing") + F.length("name") % 4 - 1).alias("missing"),
+        (F.col("corrections") + F.length("name") % 3).alias("corrections"),
+    )
+    return H.adjust_history(hist, new_entries).select(
+        "name", "date", "total", "missing", "corrections", "coverage"
+    )
+
+
 def q_history_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE shape: overwrite each name's latest entry + append one new
     date; both batches synthesized deterministically from the table."""
@@ -136,6 +158,35 @@ SELECT name, date, total, CAST(missing AS BIGINT) AS missing,
 FROM rw
 """
 
+ORACLE["history_adjust"] = f"""{_prelude()},
+latest AS (
+  SELECT name,
+         max_by(total, date) AS total,
+         max_by(missing, date) AS missing,
+         max_by(corrections, date) AS corrections
+  FROM history GROUP BY name
+),
+deltas AS (
+  SELECT name,
+         length(name) % 5 - 2 AS dt,
+         length(name) % 4 - 1 AS dm,
+         length(name) % 3 AS dc
+  FROM latest
+),
+adj AS (
+  SELECT h.name, h.date,
+         h.total + d.dt AS total,
+         greatest(h.missing - d.dc, 0) + d.dm + d.dc AS missing,
+         h.corrections + d.dc AS corrections
+  FROM history h JOIN deltas d ON h.name = d.name
+)
+SELECT name, date, CAST(total AS BIGINT) AS total,
+       CAST(missing AS BIGINT) AS missing,
+       CAST(corrections AS BIGINT) AS corrections,
+       {_COV} AS coverage
+FROM adj
+"""
+
 ORACLE["history_upsert"] = f"""{_prelude()},
 latest AS (
   SELECT name, max(date) AS date,
@@ -167,5 +218,6 @@ QUERIES = {
     "history_topk_improvers": q_history_topk_improvers,
     "history_lag_delta": q_history_lag_delta,
     "history_retro": q_history_retro,
+    "history_adjust": q_history_adjust,
     "history_upsert": q_history_upsert,
 }

@@ -89,6 +89,41 @@ def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_TERM = "haupt"  # list_specific_streets.py:8 uses a fixed search term
+
+
+def q_find_comma_suffixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc inspection probe (find_comma_suffixes.py:27-53): distinct
+    streets ending in a comma followed by non-digits, sorted. Pattern
+    carriers are synthesized onto every 5th street (as in
+    q_clean_street_suffixes) since the derived fixture streets are clean."""
+    derived.register_derived_views(spark, sf_dir)
+    alkis = spark.table("alkis")
+    raw = F.when(
+        F.col("okey") % 5 == 2, F.concat(F.col("street"), F.lit(", Nordseite"))
+    ).otherwise(F.col("street"))
+    return (
+        alkis.select(raw.alias("street"))
+        .filter(F.col("street").rlike(",[^0-9]*$"))
+        .distinct()
+        .orderBy("street")
+    )
+
+
+def q_list_specific_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc inspection probe (list_specific_streets.py:26-44): distinct
+    (street, district) rows whose street contains a term case-insensitively,
+    sorted."""
+    derived.register_derived_views(spark, sf_dir)
+    alkis = spark.table("alkis")
+    return (
+        alkis.filter(F.contains(F.lower(F.col("street")), F.lit(PROBE_TERM)))
+        .select("street", "district")
+        .distinct()
+        .orderBy("street", "district")
+    )
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-quantization bucket (first K dims → K-bit code)
     restricts the search to same-bucket candidates — the IVF/LSH analog of
@@ -208,6 +243,23 @@ _DOT_AB = "list_dot_product(CAST(a.e_q AS DOUBLE[]), CAST(b.e_t AS DOUBLE[]))"
 _DOT_AA = "list_dot_product(CAST(a.e_q AS DOUBLE[]), CAST(a.e_q AS DOUBLE[]))"
 _DOT_BB = "list_dot_product(CAST(b.e_t AS DOUBLE[]), CAST(b.e_t AS DOUBLE[]))"
 
+ORACLE["find_comma_suffixes"] = f"""{_A},
+raw AS (
+  SELECT CASE WHEN okey % 5 = 2 THEN street || ', Nordseite' ELSE street END
+           AS street
+  FROM alkis
+)
+SELECT DISTINCT street FROM raw
+WHERE regexp_matches(street, ',[^0-9]*$')
+ORDER BY street
+"""
+
+ORACLE["list_specific_streets"] = f"""{_A}
+SELECT DISTINCT street, district FROM alkis
+WHERE contains(lower(street), '{PROBE_TERM}')
+ORDER BY street, district
+"""
+
 ORACLE["ann_lsh_bucketed"] = f"""
 WITH eb AS (
   SELECT vec_id, embedding, ({_B_BITS}) AS bucket FROM embeddings
@@ -238,5 +290,7 @@ QUERIES = {
     "clean_street_suffixes": q_clean_street_suffixes,
     "schema_normalize": q_schema_normalize,
     "dedup_rows": q_dedup_rows,
+    "find_comma_suffixes": q_find_comma_suffixes,
+    "list_specific_streets": q_list_specific_streets,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
 }
