@@ -1,11 +1,12 @@
 """Great-circle distance as a pure column expression (+ DuckDB mirror).
 
 The reference measures planar distance in EPSG:25832 meters
-(``scripts/04_compare_optimized.py:420-421``, threshold 150 m). With no
-pyproj in this environment the engine standardizes on WGS84 lon/lat and
-haversine meters — equivalent to UTM planar distance to well under 0.1 %
-at the sub-km ranges the thresholds operate on; fixtures avoid the
-threshold boundary so both metrics agree on every match decision.
+(``scripts/04_compare_optimized.py:420-421``, threshold 150 m). Haversine
+is the engine's cheap default (agrees within ~0.3 % at the sub-km ranges
+the thresholds operate on); for exact reference semantics the
+``utm25832`` backend (geo/crs.py — real Krüger-series projection, also
+pure column math) is selectable per query or via
+``SPARK_GRAFT_DIST_BACKEND``.
 """
 
 from __future__ import annotations

@@ -17,18 +17,35 @@ aggregated side is unique per join key), matching the reference's per-row
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_key_expr
+from ..geo import crs
 from ..geo.cells import cell_expr, grid_disk
 from ..geo.distance import haversine_m
 from . import expand
 from .corrections import apply_corrections, ensure_correction_columns
 
 MATCH_DIST_M = 150.0  # reference threshold (04:421)
+
+# Distance backends: 'haversine' (WGS84 great-circle, the engine default)
+# or 'utm25832' (Euclidean meters in EPSG:25832 — the reference's exact
+# metric, geo/crs.py). Both are pure codegen column math; they disagree by
+# up to ~0.3 % near 50°N, which can flip decisions within ~±0.5 m of the
+# 150 m boundary.
+DIST_BACKENDS = {
+    "haversine": haversine_m,
+    "utm25832": crs.planar_dist_m,
+}
+
+
+def _dist_fn(backend: str | None):
+    name = backend or os.environ.get("SPARK_GRAFT_DIST_BACKEND", "haversine")
+    return DIST_BACKENDS[name]
 
 
 def with_key(df: DataFrame, street: str = "street", hnr: str = "housenumber") -> DataFrame:
@@ -72,7 +89,8 @@ MATCH_RING_K = 1     # ring-1 at res 17 provably covers the 150 m radius
 
 def flag_found(alkis: DataFrame, osm: DataFrame,
                max_dist_m: float = MATCH_DIST_M,
-               use_cells: bool = True) -> DataFrame:
+               use_cells: bool = True,
+               dist_backend: str | None = None) -> DataFrame:
     """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
 
     Single-pass aggregated-exists plan: the OSM side is collapsed to ONE row
@@ -125,12 +143,13 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
         group_keys = ["_okey"]
         cond = F.col("key") == F.col("_okey")
 
+    dist = _dist_fn(dist_backend)
     cands = osm_sel.groupBy(*group_keys).agg(
         F.collect_set(F.struct(F.col("_olat"), F.col("_olon"))).alias("_cands")
     )
     near = F.exists(
         F.col("_cands"),
-        lambda c: haversine_m(F.col("lat"), F.col("lon"), c["_olat"], c["_olon"])
+        lambda c: dist(F.col("lat"), F.col("lon"), c["_olat"], c["_olon"])
         < F.lit(max_dist_m),
     )
     out = (
@@ -248,11 +267,12 @@ def coverage_pipeline(
     corrections: list[dict[str, Any]] | None = None,
     aachen: bool = True,
     max_dist_m: float = MATCH_DIST_M,
+    dist_backend: str | None = None,
 ) -> dict[str, DataFrame]:
     """End-to-end lazy composition; callers pick which outputs to execute."""
     a = prepare_alkis(alkis, corrections, aachen)
     o = prepare_osm(osm, aachen)
-    flagged = flag_found(a, o, max_dist_m)
+    flagged = flag_found(a, o, max_dist_m, dist_backend=dist_backend)
     return {
         "alkis_prepared": a,
         "osm_prepared": o,
