@@ -33,3 +33,64 @@ def test_merge_upsert_parquet_standin(spark):
 
 def test_iceberg_detection_is_false_in_sandbox(spark):
     assert tables.iceberg_available(spark) is False
+
+
+def test_merge_standin_equals_inplan_upsert_contract(spark):
+    """Contract test (no Iceberg jar ships here): the parquet stand-in
+    MERGE and the lazy in-plan operators/history.upsert_history must
+    produce identical tables from the same inputs — a real Iceberg MERGE
+    replaces both without changing results."""
+    from osm_coverage_spark.operators import history as H
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "hist")
+        base = spark.createDataFrame(
+            [
+                ("a", "2024-01-01", 10, 3, 0),
+                ("a", "2024-01-02", 11, 2, 1),
+                ("b", "2024-01-01", 5, 5, 0),
+            ],
+            "name string, date string, total int, missing int, corrections int",
+        )
+        upd = spark.createDataFrame(
+            [("a", "2024-01-02", 12, 1, 2), ("c", "2024-01-03", 7, 7, 0)],
+            "name string, date string, total int, missing int, corrections int",
+        )
+        tables.write_table(base, target)
+        tables.merge_upsert(spark, target, upd, ("name", "date"))
+        via_merge = sorted(
+            tuple(r) for r in tables.read_table(spark, target).collect()
+        )
+        via_plan = sorted(tuple(r) for r in H.upsert_history(base, upd).collect())
+        assert via_merge == via_plan
+
+
+def test_merge_swap_failure_leaves_recoverable_table(spark, monkeypatch):
+    """A crash during the swap must leave the old table readable (the
+    backup-rename protocol), never a missing target."""
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "hist")
+        base = spark.createDataFrame(
+            [("a", "2024-01-01", 1)], "name string, date string, missing int"
+        )
+        tables.write_table(base, target)
+        upd = spark.createDataFrame(
+            [("a", "2024-01-02", 2)], "name string, date string, missing int"
+        )
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def failing_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the tmp -> target step
+                raise OSError("simulated crash mid-swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", failing_rename)
+        import pytest
+
+        with pytest.raises(OSError):
+            tables.merge_upsert(spark, target, upd, ("name", "date"))
+        monkeypatch.undo()
+        got = [tuple(r) for r in tables.read_table(spark, target).collect()]
+        assert got == [("a", "2024-01-01", 1)]  # old table intact
