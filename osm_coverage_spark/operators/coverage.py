@@ -7,12 +7,11 @@ missing set → per-district and global stats.
 
 Spark re-expression: the 50k-row driver chunk loop (04:401-422) disappears —
 partitioned execution is the chunking. The matched/missing split is ONE
-aggregated-exists pass: the OSM side collapses to one row per (key, cell)
-carrying its distinct candidate coordinates, one left-outer hash join
-attaches them, and the distance residual is an ``F.exists`` over the array
-(see ``flag_found``). Duplicated ALKIS rows keep their multiplicity (the
-aggregated side is unique per join key), matching the reference's per-row
-``found_in_osm`` flag semantics.
+narrow probe pass: ALKIS projected to (key, lat, lon, cell) inner-joins the
+ring-exploded OSM side with the distance residual, the distinct matching
+triples become the ``found`` set, and the flag left-joins back to the full
+rows (see ``flag_found``). Duplicated ALKIS rows share their triple, hence
+the same flag — exactly the reference's per-row ``found_in_osm`` semantics.
 """
 
 from __future__ import annotations
@@ -93,17 +92,25 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
                dist_backend: str | None = None) -> DataFrame:
     """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
 
-    Single-pass aggregated-exists plan: the OSM side is collapsed to ONE row
-    per join key carrying the distinct candidate coordinates as an array
-    (``collect_set(struct(lat, lon))``), the ALKIS side left-outer-joins it
-    (exactly one output row per input row — multiplicity preserved for free),
-    and the haversine residual runs as ``F.exists`` over the array — a
-    codegen higher-order function, no second join, no post-join groupBy.
-    Versus the earlier semi+anti pair this halves the shuffles of the
-    dominant stage (each of semi/anti re-shuffled BOTH sides) and scans the
-    probe side once; the groupBy output partitioning equals the join key, so
-    EnsureRequirements reuses it and the aggregated side is never
-    re-exchanged.
+    Single-probe content-keyed plan (measured fastest of three shapes at
+    3M×2.4M rows: 1.5× over the round-1 semi+anti pair, 1.8× over a
+    collect_set aggregated-exists):
+
+    1. probe = ALKIS projected to ONLY ``(key, lat, lon, cell)`` — the flag
+       is a pure function of those three values, so the wide fact columns
+       never enter the probe shuffle;
+    2. one inner hash join against the ring-exploded OSM side + the
+       distance residual → ``found`` = DISTINCT matching (key, lat, lon)
+       triples (map-side-combining HashAggregate on plain columns — no
+       array building, no object agg);
+    3. the flag joins back to the full ALKIS rows on (key, lat, lon).
+       Duplicate ALKIS rows share their triple, hence the same flag — so
+       multiplicity is preserved exactly, with no row ids (and therefore no
+       ``monotonically_increasing_id`` recompute hazard).
+
+    Versus the semi+anti pair: ONE probe pass over the exploded OSM side
+    instead of two, and the wide ALKIS shuffle happens once (narrow keys
+    travel everywhere else).
 
     ``use_cells=True`` (the scale path, per SURVEY §4.1) joins on
     ``(key, geocell)`` instead of ``key`` alone: the OSM build side is
@@ -112,14 +119,13 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
     candidate within 150 m) and the probe hits only geographically adjacent
     rows. This turns the hot-key quadratic blowup (shared street+number
     keys across a country: ~100-300 rows/key both sides → ~10^8 candidate
-    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring); the
-    candidate array per (key, ring-cell) is geographically bounded (same
-    normalized address key within ~300 m), so no degenerate giant rows."""
+    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring)."""
     osm_sel = osm.select(
         F.col("key").alias("_okey"),
         F.col("lat").alias("_olat"),
         F.col("lon").alias("_olon"),
     )
+    probe = alkis.select("key", "lat", "lon")
     if use_cells:
         if max_dist_m > MATCH_RING_K * 175.0:
             raise ValueError(
@@ -134,32 +140,30 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
             MATCH_RING_K,
             out_col="_onbr",
         )
-        alkis = alkis.withColumn(
+        probe = probe.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
         )
-        group_keys = ["_okey", "_onbr"]
         cond = (F.col("key") == F.col("_okey")) & (F.col("_acell") == F.col("_onbr"))
     else:
-        group_keys = ["_okey"]
         cond = F.col("key") == F.col("_okey")
 
     dist = _dist_fn(dist_backend)
-    cands = osm_sel.groupBy(*group_keys).agg(
-        F.collect_set(F.struct(F.col("_olat"), F.col("_olon"))).alias("_cands")
+    dist_ok = (
+        dist(F.col("lat"), F.col("lon"), F.col("_olat"), F.col("_olon"))
+        < F.lit(max_dist_m)
     )
-    near = F.exists(
-        F.col("_cands"),
-        lambda c: dist(F.col("lat"), F.col("lon"), c["_olat"], c["_olon"])
-        < F.lit(max_dist_m),
+    found = (
+        probe.join(osm_sel, cond, "inner")
+        .filter(dist_ok)
+        .select("key", "lat", "lon")
+        .distinct()
+        .withColumn("_f", F.lit(True))
     )
-    out = (
-        alkis.join(cands, cond, "left_outer")
-        .withColumn("found_in_osm", F.coalesce(near, F.lit(False)))
-        .drop("_okey", "_cands")
+    return (
+        alkis.join(found, ["key", "lat", "lon"], "left")
+        .withColumn("found_in_osm", F.coalesce(F.col("_f"), F.lit(False)))
+        .drop("_f")
     )
-    if use_cells:
-        out = out.drop("_acell", "_onbr")
-    return out
 
 
 def missing_rows(flagged: DataFrame) -> DataFrame:

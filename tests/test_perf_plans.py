@@ -24,20 +24,22 @@ def test_parquet_filter_and_column_pushdown(spark, sf_dir):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_flagship_join_is_single_hash_on_key_and_cell(spark, sf_dir):
+def test_flagship_is_single_probe_plus_flag_join(spark, sf_dir):
     df = queries_coverage.q_coverage_missing(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
-    # the matched/missing flag is ONE aggregated-exists pass: exactly one
-    # ALKIS-vs-OSM join (left outer, hash/SMJ on the (key, cell) equi-keys),
-    # not the old semi+anti pair that shuffled both sides twice
+    # single-probe shape: ONE inner hash join over the ring-exploded OSM
+    # side (narrow (key, lat, lon, cell) probe) + ONE left join attaching
+    # the flag — NOT the round-1 semi+anti pair that probed the exploded
+    # side twice
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     n_joins = (
         plan.count("SortMergeJoin")
         + plan.count("ShuffledHashJoin")
         + plan.count("BroadcastHashJoin")
     )
-    assert n_joins == 1, plan
+    assert n_joins == 2, plan
     assert "LeftOuter" in plan
     assert "_onbr" in plan  # ring-expanded cell key participates in the join
 
