@@ -100,6 +100,32 @@ def grid_disk(df: DataFrame, cell_col: str, k: int,
     ).drop("_dx", "_dy")
 
 
+def disc_stencil(df: DataFrame, lat_col: str, lon_col: str, res: int,
+                 out_col: str = "nbr_cell") -> DataFrame:
+    """Explode each point into the ≤4 cells its radius-r disc can touch —
+    exact when the cell edge is ≥ 2r (the disc then crosses at most the
+    NEARER boundary per axis, so the quadrant {own, ±1 lat} × {own, ±1 lon}
+    covers every intersected cell). 4 rows instead of ring-1's 9: 2.25×
+    less shuffle volume for radius-bounded joins, same answers. Pure
+    floor/when/explode arithmetic — whole-stage codegen."""
+    sz = F.lit(cell_size_deg(res))
+    fx = (F.col(lat_col) + F.lit(90.0)) / sz
+    fy = (F.col(lon_col) + F.lit(180.0)) / sz
+    dx = F.when(fx - F.floor(fx) < 0.5, F.lit(-1)).otherwise(F.lit(1))
+    dy = F.when(fy - F.floor(fy) < 0.5, F.lit(-1)).otherwise(F.lit(1))
+    base = cell_expr(F.col(lat_col), F.col(lon_col), res)
+    df = df.withColumn(
+        "_stencil",
+        F.array(
+            base,
+            base + dx.cast("long") * F.lit(IX_BASE),
+            base + dy.cast("long"),
+            base + dx.cast("long") * F.lit(IX_BASE) + dy.cast("long"),
+        ),
+    )
+    return df.withColumn(out_col, F.explode("_stencil")).drop("_stencil")
+
+
 def grid_disk_sql(cell: str, k: int) -> str:
     """DuckDB: lateral-unnest neighbor generator returning column ``nbr_cell``.
 

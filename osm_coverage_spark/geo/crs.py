@@ -32,6 +32,13 @@ _A_CAP = _A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
 _AL1 = _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0
 _AL2 = 13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0
 _AL3 = 61.0 * _N**3 / 240.0
+# inverse-series coefficients (published Krüger β / rectifying-latitude δ)
+_BE1 = _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0
+_BE2 = _N**2 / 48.0 + _N**3 / 15.0
+_BE3 = 17.0 * _N**3 / 480.0
+_DE1 = 2.0 * _N - 2.0 * _N**2 / 3.0 - 2.0 * _N**3
+_DE2 = 7.0 * _N**2 / 3.0 - 8.0 * _N**3 / 5.0
+_DE3 = 56.0 * _N**3 / 15.0
 _TSN = 2.0 * math.sqrt(_N) / (1.0 + _N)
 K0 = 0.9996
 E0 = 500000.0
@@ -148,8 +155,60 @@ def _utm32(lat, lon, ops):
     return ops.lit(E0) + scale * e, scale * n_
 
 
+def _utm32_inverse(e, n_, ops):
+    """(lat, lon) degrees from EPSG:25832 (easting, northing) — the inverse
+    Krüger series, same dual-dialect builder and exp/ln hyperbolics."""
+    import math as _m
+
+    def sinh(x):
+        return (ops.exp(x) - ops.exp(-x)) * ops.lit(0.5)
+
+    def cosh(x):
+        return (ops.exp(x) + ops.exp(-x)) * ops.lit(0.5)
+
+    def asin_(x):
+        # asin(x) = atan2(x, sqrt(1-x²)) — atan2 exists in every dialect
+        return ops.atan2(x, ops.sqrt(ops.lit(1.0) - x * x))
+
+    scale = 1.0 / (K0 * _A_CAP)
+    xi = (n_ - ops.lit(0.0)) * ops.lit(scale)
+    eta = (e - ops.lit(E0)) * ops.lit(scale)
+    xi_p, eta_p = xi, eta
+    for j, be in ((1, _BE1), (2, _BE2), (3, _BE3)):
+        tj = ops.lit(2.0 * j)
+        xi_p = xi_p - ops.lit(be) * ops.sin(tj * xi) * cosh(tj * eta)
+        eta_p = eta_p - ops.lit(be) * ops.cos(tj * xi) * sinh(tj * eta)
+    chi = asin_(ops.sin(xi_p) / cosh(eta_p))
+    phi = chi
+    for j, de in ((1, _DE1), (2, _DE2), (3, _DE3)):
+        phi = phi + ops.lit(de) * ops.sin(ops.lit(2.0 * j) * chi)
+    lam = ops.atan2(sinh(eta_p), ops.cos(xi_p))
+    deg = 180.0 / _m.pi
+    return phi * ops.lit(deg), lam * ops.lit(deg) + ops.lit(LON0_DEG)
+
+
 def utm32_cols(lat: Column, lon: Column) -> tuple[Column, Column]:
     return _utm32(lat, lon, _ColOps())
+
+
+def utm32_inverse_cols(e: Column, n: Column) -> tuple[Column, Column]:
+    """(lat, lon) Columns from EPSG:25832 easting/northing Columns."""
+    return _utm32_inverse(e, n, _ColOps())
+
+
+def utm32_inverse_py(e: float, n: float) -> tuple[float, float]:
+    class _PyOps:
+        dialect = "py"
+        sin = staticmethod(math.sin)
+        cos = staticmethod(math.cos)
+        exp = staticmethod(math.exp)
+        ln = staticmethod(math.log)
+        sqrt = staticmethod(math.sqrt)
+        atan2 = staticmethod(math.atan2)
+        radians = staticmethod(math.radians)
+        lit = staticmethod(float)
+
+    return _utm32_inverse(float(e), float(n), _PyOps())
 
 
 def utm32_sql(lat: str, lon: str) -> tuple[str, str]:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_key_expr
 from ..geo import crs
-from ..geo.cells import cell_expr, grid_disk
+from ..geo.cells import cell_expr, disc_stencil
 from ..geo.distance import haversine_m
 from . import expand
 from .corrections import apply_corrections, ensure_correction_columns
@@ -82,8 +82,12 @@ def prepare_osm(alkis_like_osm: DataFrame, aachen: bool = True) -> DataFrame:
     )
 
 
-MATCH_CELL_RES = 17  # lat cell 306 m, lon cell >= 175 m below lat 55
-MATCH_RING_K = 1     # ring-1 at res 17 provably covers the 150 m radius
+# res-16 cells: lat edge 611 m, lon edge >= 351 m below lat 55 — both >=
+# 2×150 m, so the 4-cell quadrant stencil (geo/cells.disc_stencil) is exact
+# for the match radius while shuffling 2.25× fewer exploded rows than a
+# ring-1 neighborhood.
+MATCH_CELL_RES = 16
+MATCH_STENCIL_MAX_M = 175.0  # half the res-16 lon edge at 55°N
 
 
 def flag_found(alkis: DataFrame, osm: DataFrame,
@@ -114,12 +118,13 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
 
     ``use_cells=True`` (the scale path, per SURVEY §4.1) joins on
     ``(key, geocell)`` instead of ``key`` alone: the OSM build side is
-    exploded into its ring-1 neighborhood at res 17 (each cell edge >= the
-    match radius at German latitudes, so the ring is a superset of every
-    candidate within 150 m) and the probe hits only geographically adjacent
-    rows. This turns the hot-key quadratic blowup (shared street+number
-    keys across a country: ~100-300 rows/key both sides → ~10^8 candidate
-    pairs at sf0.1, ~10^12 at cluster scale) into O(rows × ring)."""
+    exploded into the ≤4 res-16 cells its 150 m disc can touch (quadrant
+    stencil, exact because the cell edge ≥ 2× the radius at German
+    latitudes — geo/cells.disc_stencil) and the probe hits only
+    geographically adjacent rows. This turns the hot-key quadratic blowup
+    (shared street+number keys across a country: ~100-300 rows/key both
+    sides → ~10^8 candidate pairs at sf0.1, ~10^12 at cluster scale) into
+    O(rows × 4), at 2.25× less shuffle volume than a ring-1 explode."""
     osm_sel = osm.select(
         F.col("key").alias("_okey"),
         F.col("lat").alias("_olat"),
@@ -127,18 +132,13 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
     )
     probe = alkis.select("key", "lat", "lon")
     if use_cells:
-        if max_dist_m > MATCH_RING_K * 175.0:
+        if max_dist_m > MATCH_STENCIL_MAX_M:
             raise ValueError(
-                "ring-1/res-17 covers only 175 m; raise MATCH_RING_K for "
-                f"max_dist_m={max_dist_m}"
+                "the res-16 quadrant stencil is exact only to 175 m; use a "
+                f"coarser resolution for max_dist_m={max_dist_m}"
             )
-        osm_sel = grid_disk(
-            osm_sel.withColumn(
-                "_ocell", cell_expr(F.col("_olat"), F.col("_olon"), MATCH_CELL_RES)
-            ),
-            "_ocell",
-            MATCH_RING_K,
-            out_col="_onbr",
+        osm_sel = disc_stencil(
+            osm_sel, "_olat", "_olon", MATCH_CELL_RES, out_col="_onbr"
         )
         probe = probe.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)

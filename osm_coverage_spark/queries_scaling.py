@@ -118,6 +118,135 @@ SCALING_KERNELS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Amplified END-TO-END flagship job — the north_rule scaling evidence
+# ---------------------------------------------------------------------------
+
+def _synth_addresses(spark: SparkSession, n: int, parts: int = 512) -> DataFrame:
+    """Deterministic ALKIS-shaped table: streets with suffix variety (so the
+    normalize chain does real work), ~5 % range housenumbers (so expansion
+    fires), Germany-extent coordinates with a planted dense urban blob
+    (~10 % of rows in a 0.1° box — the hot-cell skew of the north_rule)."""
+    pid = F.col("id")
+    h = (pid % 120 + 1).cast("long")
+    street = F.concat(
+        F.lit("Muster"),
+        ((pid * 2654435761) % 20000).cast("string"),
+        F.when(pid % 3 == 0, F.lit("straße"))
+        .when(pid % 3 == 1, F.lit(" Str."))
+        .otherwise(F.lit(" Weg")),
+    )
+    hnr = F.when(
+        pid % 20 == 0, F.concat(h.cast("string"), F.lit("-"), (h + 4).cast("string"))
+    ).otherwise(h.cast("string"))
+    urban = pid % 10 == 0
+    lat = F.when(
+        urban, F.lit(50.93) + ((pid * 173) % 100000).cast("double") * 1e-6
+    ).otherwise(F.lit(47.5) + ((pid * 173) % 7000000).cast("double") * 1e-6)
+    lon = F.when(
+        urban, F.lit(6.95) + ((pid * 131) % 100000).cast("double") * 1e-6
+    ).otherwise(F.lit(6.0) + ((pid * 131) % 8000000).cast("double") * 1e-6)
+    return spark.range(0, n, 1, parts).select(
+        street.alias("street"),
+        hnr.alias("housenumber"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.concat(F.lit("D"), (pid % 40).cast("string")).alias("district"),
+        F.concat(F.lit("S"), (pid % 4).cast("string")).alias("state"),
+        F.lit(None).cast("string").alias("city"),
+        pid.alias("alkis_id"),
+    )
+
+
+def _synth_osm_from(spark: SparkSession, n_alkis: int, n_osm: int,
+                    parts: int = 512) -> DataFrame:
+    """OSM side derived from the ALKIS generator: each row re-derives an
+    ALKIS row's street/housenumber/coords (same formulas over the mapped
+    id), jitters coordinates ≤ ~15 m, and displaces every 3rd row ~1.1 km
+    so ~1/3 of addresses come out missing — a realistic coverage diff, not
+    a degenerate all-match or all-miss input."""
+    j = F.col("id")
+    pid = (j * 7919) % n_alkis
+    h = (pid % 120 + 1).cast("long")
+    street = F.concat(
+        F.lit("Muster"),
+        ((pid * 2654435761) % 20000).cast("string"),
+        F.when(pid % 3 == 0, F.lit("straße"))
+        .when(pid % 3 == 1, F.lit(" Str."))
+        .otherwise(F.lit(" Weg")),
+    )
+    hnr = F.when(
+        pid % 20 == 0, F.concat(h.cast("string"), F.lit("-"), (h + 4).cast("string"))
+    ).otherwise(h.cast("string"))
+    urban = pid % 10 == 0
+    lat = F.when(
+        urban, F.lit(50.93) + ((pid * 173) % 100000).cast("double") * 1e-6
+    ).otherwise(F.lit(47.5) + ((pid * 173) % 7000000).cast("double") * 1e-6)
+    lon = F.when(
+        urban, F.lit(6.95) + ((pid * 131) % 100000).cast("double") * 1e-6
+    ).otherwise(F.lit(6.0) + ((pid * 131) % 8000000).cast("double") * 1e-6)
+    jitter_lat = ((j * 31) % 200 - 100).cast("double") * 1e-7
+    jitter_lon = ((j * 37) % 200 - 100).cast("double") * 1e-7
+    displaced = F.when(j % 3 == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+    return spark.range(0, n_osm, 1, parts).select(
+        street.alias("street"),
+        hnr.alias("housenumber"),
+        (lat + jitter_lat + displaced).alias("lat"),
+        (lon + jitter_lon).alias("lon"),
+        F.lit(None).cast("string").alias("city"),
+        F.lit(None).cast("string").alias("housename"),
+    )
+
+
+def scale_shuffle_probe(spark: SparkSession, sf_dir: str,
+                        mult: int = 2000) -> DataFrame:
+    """BOX PROBE, not an engine kernel: one bare hash repartition of 200M
+    longs. Measures the host's shuffle path (serialize → lz4 → local disk →
+    fetch over loopback → deserialize) in isolation — the single-host
+    resource that does NOT multiply with executor count here but does on a
+    real cluster (per-node disks + NICs). Reported so the e2e flagship's
+    efficiency can be decomposed into compute (scales, see kernels) vs
+    shuffle (box-capped, this number)."""
+    n = 100_000 * mult
+    r = spark.range(0, n, 1, 512)
+    return r.repartition(128, F.col("id") % 1_000_003).select(
+        (F.col("id") * 3 % 7).alias("v")
+    )
+
+
+E2E_MULT = 24  # 1.2M ALKIS × 0.96M OSM — tens of seconds at N=2×4 cores
+
+
+def scale_coverage_e2e(spark: SparkSession, sf_dir: str,
+                       mult: int = E2E_MULT) -> DataFrame:
+    """The flagship coverage diff END-TO-END at amplified scale: raw
+    address tables → corrections/expansions → normalize-key chain →
+    cell-ring single-probe match → per-district stats. This is the job the
+    north_rule's two-cluster-size criterion grades; at this size the
+    parallel fraction dominates scheduling/planning fixed costs (a 100 TB
+    run looks like this, not like a 3-second sf0.1 query)."""
+    from .operators import coverage
+
+    n_alkis = 50_000 * mult
+    n_osm = 40_000 * mult
+    alkis = _synth_addresses(spark, n_alkis, parts=128)
+    osm = _synth_osm_from(spark, n_alkis, n_osm, parts=128)
+    out = coverage.coverage_pipeline(alkis, osm)
+    # district_stats consumes every flagged row — materializing it executes
+    # the complete pipeline; the tiny aggregate keeps noop-sink write cost
+    # out of the measurement
+    return out["district_stats"]
+
+
+SCALING_E2E = {
+    "coverage_e2e": scale_coverage_e2e,
+}
+
+BOX_PROBES = {
+    "shuffle_probe": scale_shuffle_probe,
+}
+
+
 def _pipeline_workload() -> dict:
     from . import registry
 

@@ -87,3 +87,55 @@ def test_spark_matches_python_golden_on_seeded_corpus(spark):
     ]
     want = [normalize_key_py(s, h) for s, h in cases]
     assert got == want
+
+
+def test_disc_stencil_join_equals_key_only_join_near_boundaries(spark):
+    """Stencil completeness: flag_found with the 4-cell quadrant stencil
+    must equal the cell-free key-only join on pairs planted to straddle
+    res-16 cell boundaries at distances bracketing the 150 m threshold."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.geo import cells
+    from osm_coverage_spark.operators import coverage
+
+    sz = cells.cell_size_deg(16)
+    rng_pairs = []
+    k = 0
+    # anchor points just inside a cell corner; partners pushed across the
+    # boundary at bearings 0/90/180/270 and distances 140..174 m
+    for ci in range(6):
+        lat0 = math.floor((47.6 + ci * 1.31 + 90.0) / sz) * sz - 90.0
+        lon0 = math.floor((6.4 + ci * 1.73 + 180.0) / sz) * sz - 180.0
+        for eps in (1e-7, sz / 4):
+            for dist in (140.0, 149.0, 151.0, 174.0):
+                for bearing in range(4):
+                    la = lat0 + eps
+                    lo = lon0 + eps
+                    dlat = dist / 111320.0
+                    dlon = dist / (111320.0 * math.cos(math.radians(la)))
+                    pla = la + (dlat if bearing == 0 else -dlat if bearing == 2 else 0)
+                    plo = lo + (dlon if bearing == 1 else -dlon if bearing == 3 else 0)
+                    rng_pairs.append((f"S{k}", la, lo, pla, plo))
+                    k += 1
+    alkis = spark.createDataFrame(
+        [(s, "1", la, lo) for s, la, lo, _, _ in rng_pairs],
+        "street string, housenumber string, lat double, lon double",
+    )
+    osm = spark.createDataFrame(
+        [(s, "1", pla, plo) for s, _, _, pla, plo in rng_pairs],
+        "street string, housenumber string, lat double, lon double",
+    )
+    a = coverage.with_key(alkis)
+    o = coverage.with_key(osm)
+    with_cells = {
+        r["street"]: r["found_in_osm"]
+        for r in coverage.flag_found(a, o, use_cells=True).collect()
+    }
+    brute = {
+        r["street"]: r["found_in_osm"]
+        for r in coverage.flag_found(a, o, use_cells=False).collect()
+    }
+    assert with_cells == brute
+    assert any(with_cells.values()) and not all(with_cells.values())
