@@ -43,13 +43,21 @@ DEFAULT_BENCH = [
 ]
 
 
-def run_once(spark, name: str, sf_dir: str) -> float:
+def run_once(spark, name: str, sf_dir: str, repeats: int) -> float:
     df = registry.QUERIES[name](spark, sf_dir)
-    t0 = time.perf_counter()
-    # noop sink: materializes every output column (a bare count() would let
-    # Catalyst prune computed columns and time a hollow plan)
-    df.write.mode("overwrite").format("noop").save()
-    dt = time.perf_counter() - t0
+
+    def mat() -> float:
+        t0 = time.perf_counter()
+        # noop sink: materializes every output column (a bare count() would
+        # let Catalyst prune computed columns and time a hollow plan)
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # one UNtimed pass at the target SF (first-touch page cache, per-plan
+    # codegen, shuffle-service warm) + best-of-N: the recorded number is the
+    # steady-state capability, not cold-run noise (measured ±1.5 s one-shot)
+    mat()
+    dt = min(mat() for _ in range(repeats))
     print(f"  {name}: {dt:.2f}s", file=sys.stderr)
     return dt
 
@@ -73,9 +81,10 @@ def main() -> None:
         except Exception as exc:  # never let warmup kill the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in bench:
-        timings[name] = round(run_once(spark, name, sf_dir), 3)
+        timings[name] = round(run_once(spark, name, sf_dir, repeats), 3)
     spark.stop()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

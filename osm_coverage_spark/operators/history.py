@@ -70,7 +70,12 @@ def adjust_history(history: DataFrame, new_entries: DataFrame,
     current run's (name, total, missing, corrections); callers upsert them
     afterwards, exactly like the reference appends after adjusting.
 
-    One groupBy for the latest-entry lookup + a broadcast join of the
+    Names absent from ``new_entries`` pass through UNtouched (delta 0) —
+    the reference's --adjust-history leaves other districts' history rows
+    intact, so an inner join here would silently drop them from a caller
+    that writes the result back as the history table.
+
+    One groupBy for the latest-entry lookup + a broadcast LEFT join of the
     per-name deltas (names ≈ districts — bounded, dimension-sized)."""
     ref = history.groupBy("name").agg(
         F.max_by("total", "date").alias("_rt"),
@@ -83,7 +88,9 @@ def adjust_history(history: DataFrame, new_entries: DataFrame,
         (F.col("missing") - F.col("_rm")).alias("_dm"),
         (F.col("corrections") - F.col("_rc")).alias("_dc"),
     )
-    j = history.join(F.broadcast(deltas), "name", "inner")
+    j = history.join(F.broadcast(deltas), "name", "left")
+    for c in ("_dt", "_dm", "_dc"):
+        j = j.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     j = j.withColumn("corrections", F.col("corrections") + F.col("_dc"))
     j = j.withColumn("missing", F.greatest(F.col("missing") - F.col("_dc"), F.lit(0)))
     j = j.withColumn("total", F.col("total") + F.col("_dt"))

@@ -43,12 +43,14 @@ def q_history_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_history_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--adjust-history variant: deterministic synthetic 'current run' per
-    name shifts total by len%5-2, missing by len%4-1, corrections by len%3;
-    all past rows absorb the corrections delta (clamped) plus the residual
-    total/missing shift (unclamped), coverage recomputed."""
+    """--adjust-history variant: deterministic synthetic 'current run' for
+    HALF the names (length(name)%2=0 — the other half must pass through
+    untouched, as the reference leaves un-run districts' history intact);
+    shifts total by len%5-2, missing by len%4-1, corrections by len%3;
+    all past rows of adjusted names absorb the corrections delta (clamped)
+    plus the residual total/missing shift (unclamped), coverage recomputed."""
     hist = _history(spark, sf_dir)
-    latest = hist.groupBy("name").agg(
+    latest = hist.filter(F.length("name") % 2 == 0).groupBy("name").agg(
         F.max_by("total", "date").alias("total"),
         F.max_by("missing", "date").alias("missing"),
         F.max_by("corrections", "date").alias("corrections"),
@@ -164,7 +166,7 @@ latest AS (
          max_by(total, date) AS total,
          max_by(missing, date) AS missing,
          max_by(corrections, date) AS corrections
-  FROM history GROUP BY name
+  FROM history WHERE length(name) % 2 = 0 GROUP BY name
 ),
 deltas AS (
   SELECT name,
@@ -175,10 +177,11 @@ deltas AS (
 ),
 adj AS (
   SELECT h.name, h.date,
-         h.total + d.dt AS total,
-         greatest(h.missing - d.dc, 0) + d.dm + d.dc AS missing,
-         h.corrections + d.dc AS corrections
-  FROM history h JOIN deltas d ON h.name = d.name
+         h.total + coalesce(d.dt, 0) AS total,
+         greatest(h.missing - coalesce(d.dc, 0), 0)
+           + coalesce(d.dm, 0) + coalesce(d.dc, 0) AS missing,
+         h.corrections + coalesce(d.dc, 0) AS corrections
+  FROM history h LEFT JOIN deltas d ON h.name = d.name
 )
 SELECT name, date, CAST(total AS BIGINT) AS total,
        CAST(missing AS BIGINT) AS missing,

@@ -165,9 +165,26 @@ def read_gpkg_layer(
         meta = metas[0]
     table, geom_col, srs_id = meta["table"], meta["geom_col"], meta["srs_id"]
 
+    MAX_SPLITS = 4096  # driver-side split list stays bounded no matter the file
     with _ro(path) as con:
         cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
         lo, hi = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+        n_rows = con.execute(f'SELECT count(*) FROM "{table}"').fetchone()[0]
+        # Splits come from ACTUAL rowids (one index-ordered window pass),
+        # not a dense range(lo, hi): a table with sparse rowids (deletes,
+        # large INTEGER PRIMARY KEY values) would otherwise explode the
+        # driver-side list and task count far beyond the real row count.
+        n_splits = min(MAX_SPLITS, max(1, -(-n_rows // batch_rows)))
+        per_split = -(-n_rows // n_splits)
+        bounds = [
+            r[0]
+            for r in con.execute(
+                f'SELECT rowid FROM (SELECT rowid, row_number() OVER '
+                f'(ORDER BY rowid) AS rn FROM "{table}") '
+                f"WHERE (rn - 1) % ? = 0 ORDER BY rowid",
+                (per_split,),
+            ).fetchall()
+        ] if n_rows else []
     attr_cols = [
         (name, _TYPE_MAP.get((decl or "").upper().split("(")[0], "string"))
         for _, name, decl, *_ in cols
@@ -179,8 +196,9 @@ def read_gpkg_layer(
         return spark.createDataFrame([], schema)
 
     ranges = [
-        (path, table, geom_col, srs_id, start, min(start + batch_rows - 1, hi))
-        for start in range(lo, hi + 1, batch_rows)
+        (path, table, geom_col, srs_id, start,
+         bounds[k + 1] - 1 if k + 1 < len(bounds) else hi)
+        for k, start in enumerate(bounds)
     ]
     rdf = spark.createDataFrame(
         ranges,

@@ -125,17 +125,43 @@ def scan_blob_headers(path: str) -> Iterator[tuple[str, str, int, int]]:
             fh.seek(dsize, 1)
 
 
-def blob_index(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
-    """One row per OSMData blob: the distributed split unit."""
-    rows = [
-        r
-        for p in paths
-        for r in scan_blob_headers(p)
-        if r[1] == "OSMData"
-    ]
-    return spark.createDataFrame(
-        rows, "path string, blob_type string, offset long, size long"
-    )
+_INDEX_SCHEMA = "path string, blob_type string, offset long, size long"
+
+
+def blob_index(spark: SparkSession, paths: Iterable[str],
+               distributed_threshold: int = 16) -> DataFrame:
+    """One row per OSMData blob: the distributed split unit.
+
+    Small path lists are header-scanned on the driver (a few KB of reads);
+    at lake scale (thousands of files on object storage) a sequential
+    driver loop would serialize startup, so past ``distributed_threshold``
+    files the header scan itself fans out as one task per file."""
+    paths = list(paths)
+    if len(paths) < distributed_threshold:
+        rows = [
+            r
+            for p in paths
+            for r in scan_blob_headers(p)
+            if r[1] == "OSMData"
+        ]
+        return spark.createDataFrame(rows, _INDEX_SCHEMA)
+
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths), "path")
+
+    def scan(batches):
+        import pandas as pd
+
+        for b in batches:
+            for p in b["path"]:
+                rows = [r for r in scan_blob_headers(p) if r[1] == "OSMData"]
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["path", "blob_type", "offset", "size"]
+                    )
+
+    return pdf.mapInPandas(scan, _INDEX_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -144,27 +170,49 @@ def blob_index(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
 
 
 def _blob_data(payload) -> memoryview:
+    """Blob payload → PrimitiveBlock bytes. Codecs per the public Blob
+    message: 1=raw, 3=zlib, 4=lzma, 5=bzip2 (obsolete but stdlib-trivial);
+    lz4 (6) / zstd (7) have no stdlib codec — named error, not silence."""
     raw = None
     for fno, _, v in _fields(memoryview(payload)):
         if fno == 1:
             raw = memoryview(v)
         elif fno == 3:
             raw = memoryview(zlib.decompress(bytes(v)))
+        elif fno == 4:
+            import lzma
+
+            raw = memoryview(lzma.decompress(bytes(v)))
+        elif fno == 5:
+            import bz2
+
+            raw = memoryview(bz2.decompress(bytes(v)))
+        elif fno in (6, 7):
+            codec = {6: "lz4", 7: "zstd"}[fno]
+            raise ValueError(
+                f"blob uses {codec} compression — no stdlib codec available"
+            )
     if raw is None:
-        raise ValueError("blob carries no raw/zlib data")
+        raise ValueError("blob carries no raw/zlib/lzma/bzip2 data")
     return raw
 
 
 ADDR_TAGS = ("addr:street", "addr:place", "addr:housenumber", "addr:city", "name")
+# relations additionally carry the area-assembly discriminators the
+# reference's osmium area mode keys on (03_import_pbf_optimized.py:90-135:
+# multipolygon areas; 02_extract_alkis.py:263-311: admin boundaries)
+REL_TAGS = ADDR_TAGS + ("type", "boundary", "admin_level")
 
 
-def decode_blob(payload) -> tuple[list[tuple], list[tuple]]:
-    """Decode one OSMData blob → (nodes, ways).
+def decode_blob(payload) -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """Decode one OSMData blob → (nodes, ways, relations).
 
     nodes: (id, lat, lon, street, place, housenumber, city, name) —
     tag fields None when absent (location kept for ALL nodes: way-centroid
     assembly needs untagged vertices).
-    ways: (id, street, place, housenumber, city, name, refs)."""
+    ways: (id, street, place, housenumber, city, name, refs).
+    relations: (id, street, place, housenumber, city, name, rtype,
+    boundary, admin_level, members[(role, mtype, mid)])."""
     data = _blob_data(payload)
     strings: list[str] = []
     groups: list = []
@@ -188,16 +236,18 @@ def decode_blob(payload) -> tuple[list[tuple], list[tuple]]:
     def coord(off: int, raw: int) -> float:
         return NANO * (off + gran * raw)
 
-    def tagvals(keys: list[int], vals: list[int]) -> dict[str, str]:
+    def tagvals(keys: list[int], vals: list[int],
+                want=ADDR_TAGS) -> dict[str, str]:
         out = {}
         for k, v in zip(keys, vals):
             ks = strings[k]
-            if ks in ADDR_TAGS:
+            if ks in want:
                 out[ks] = strings[v]
         return out
 
     nodes: list[tuple] = []
     ways: list[tuple] = []
+    relations: list[tuple] = []
     for g in groups:
         for fno, _, v in _fields(g):
             if fno == 1:  # plain Node
@@ -265,7 +315,42 @@ def decode_blob(payload) -> tuple[list[tuple], list[tuple]]:
                         refs,
                     )
                 )
-    return nodes, ways
+            elif fno == 4:  # Relation
+                rid = None
+                keys, vals, roles, memids, types = [], [], [], [], []
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = _packed(v2)
+                    elif f2 == 3:
+                        vals = _packed(v2)
+                    elif f2 == 8:
+                        roles = _packed(v2)
+                    elif f2 == 9:
+                        memids = _packed(v2, signed=True, delta=True)
+                    elif f2 == 10:
+                        types = _packed(v2)
+                t = tagvals(keys, vals, want=REL_TAGS)
+                members = [
+                    (strings[r], int(mt), int(mid))
+                    for r, mt, mid in zip(roles, types, memids)
+                ]
+                relations.append(
+                    (
+                        rid,
+                        t.get("addr:street"),
+                        t.get("addr:place"),
+                        t.get("addr:housenumber"),
+                        t.get("addr:city"),
+                        t.get("name"),
+                        t.get("type"),
+                        t.get("boundary"),
+                        t.get("admin_level"),
+                        members,
+                    )
+                )
+    return nodes, ways, relations
 
 
 def _node_row(nid, lat, lon, t: dict[str, str]) -> tuple:
@@ -289,23 +374,34 @@ WAY_SCHEMA = (
     "way_id long, street string, place string, housenumber string, "
     "city string, name string, refs array<long>"
 )
+REL_SCHEMA = (
+    "rel_id long, street string, place string, housenumber string, "
+    "city string, name string, rtype string, boundary string, "
+    "admin_level string, "
+    "members array<struct<role string, mtype int, mid long>>"
+)
 
 
 def _decode_partition(index_batches, want: str):
     import pandas as pd
 
-    node_cols = [c.split()[0] for c in NODE_SCHEMA.split(", ")]
-    way_cols = [c.split()[0] for c in WAY_SCHEMA.split(", ")]
+    cols = {
+        "nodes": ["node_id", "lat", "lon", "street", "place", "housenumber",
+                  "city", "name"],
+        "ways": ["way_id", "street", "place", "housenumber", "city", "name",
+                 "refs"],
+        "relations": ["rel_id", "street", "place", "housenumber", "city",
+                      "name", "rtype", "boundary", "admin_level", "members"],
+    }[want]
+    pick = {"nodes": 0, "ways": 1, "relations": 2}[want]
     for batch in index_batches:
         for path, off, size in zip(batch["path"], batch["offset"], batch["size"]):
             with open(path, "rb") as fh:
                 fh.seek(int(off))
                 payload = fh.read(int(size))
-            nodes, ways = decode_blob(payload)
-            if want == "nodes" and nodes:
-                yield pd.DataFrame(nodes, columns=node_cols)
-            elif want == "ways" and ways:
-                yield pd.DataFrame(ways, columns=way_cols)
+            rows = decode_blob(payload)[pick]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
 
 def pbf_nodes(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
@@ -323,6 +419,15 @@ def pbf_ways(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
     return (
         idx.repartition(min(n, 2048))
         .mapInPandas(lambda it: _decode_partition(it, "ways"), WAY_SCHEMA)
+    )
+
+
+def pbf_relations(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
+    idx = blob_index(spark, paths)
+    n = max(idx.count(), 1)
+    return (
+        idx.repartition(min(n, 2048))
+        .mapInPandas(lambda it: _decode_partition(it, "relations"), REL_SCHEMA)
     )
 
 
@@ -350,38 +455,32 @@ def _address_projection(df: DataFrame, lat, lon) -> DataFrame:
     )
 
 
-def way_centroids(ways: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Exact polygon (shoelace) centroid per way via a distributed
-    node-location join — the Spark analog of osmium's location cache.
-    Degenerate rings (|area| ~ 0: lines, single points) fall back to the
-    vertex mean. Refs are joined positionally and re-assembled in order
-    with array_sort(collect_list(struct(pos, ...))) — associative, so the
-    groupBy is one shuffle regardless of input partitioning."""
-    w = ways.select("way_id", F.posexplode("refs").alias("pos", "ref"))
-    coords = w.join(
-        nodes.select(F.col("node_id").alias("ref"), "lat", "lon"), "ref"
-    )
-    ring = coords.groupBy("way_id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("_r")
-    )
-    # translate to a local origin (first vertex) before the shoelace sums:
-    # at lon≈6°/lat≈50° the raw cross products are ~300 with ~1e-6 area —
-    # catastrophic cancellation costs ~6 digits of the centroid otherwise
-    ox = F.element_at("_r", 1)["lon"]
-    oy = F.element_at("_r", 1)["lat"]
-    xs = F.transform("_r", lambda p: p["lon"] - ox)
-    ys = F.transform("_r", lambda p: p["lat"] - oy)
-    n = F.size("_r")
-    # consecutive-pair arrays (OSM closed ways repeat the first node last,
-    # so pairs i → i+1 over 0..n-2 traverse the ring exactly once)
-    x0, x1 = F.slice(xs, 1, n - 1), F.slice(xs, 2, n - 1)
-    y0, y1 = F.slice(ys, 1, n - 1), F.slice(ys, 2, n - 1)
+def _ring_shoelace(rcol):
+    """Column bundle for one ring (array<struct<…lon,lat>>): signed 2×area
+    ``a2``, GLOBAL centroid numerators ``gx``/``gy`` (centroid = g / a2),
+    global vertex means, vertex count.
+
+    Translates to a local origin (first vertex) before the cross products:
+    at lon≈6°/lat≈50° the raw terms are ~300 with ~1e-6 area — catastrophic
+    cancellation costs ~6 digits of the centroid otherwise. Consecutive
+    pairs 0..n-2 traverse a CLOSED ring (first vertex repeated last)
+    exactly once."""
+    # try_element_at: an empty ring (fully-unresolved, flagged upstream)
+    # yields NULL math instead of an INVALID_ARRAY_INDEX error
+    ox = F.try_element_at(rcol, F.lit(1))["lon"]
+    oy = F.try_element_at(rcol, F.lit(1))["lat"]
+    xs = F.transform(rcol, lambda p: p["lon"] - ox)
+    ys = F.transform(rcol, lambda p: p["lat"] - oy)
+    n = F.size(rcol)
+    ln = F.greatest(n - 1, F.lit(0))
+    x0, x1 = F.slice(xs, 1, ln), F.slice(xs, 2, ln)
+    y0, y1 = F.slice(ys, 1, ln), F.slice(ys, 2, ln)
     cross = F.zip_with(
         F.zip_with(x0, y1, lambda a, b: a * b),
         F.zip_with(x1, y0, lambda a, b: a * b),
         lambda a, b: a - b,
     )
-    s = F.aggregate(cross, F.lit(0.0), lambda acc, c: acc + c)
+    a2 = F.aggregate(cross, F.lit(0.0), lambda acc, c: acc + c)
     cx_num = F.aggregate(
         F.zip_with(F.zip_with(x0, x1, lambda a, b: a + b), cross, lambda a, c: a * c),
         F.lit(0.0),
@@ -392,35 +491,253 @@ def way_centroids(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    mean_x = F.aggregate(xs, F.lit(0.0), lambda a, v: a + v) / n
-    mean_y = F.aggregate(ys, F.lit(0.0), lambda a, v: a + v) / n
-    area2 = s  # 2 × signed area
-    degenerate = F.abs(area2) < F.lit(1e-13)
-    ctr = ring.select(
-        "way_id",
-        (
-            F.when(degenerate, mean_x).otherwise(cx_num / (F.lit(3.0) * area2)) + ox
-        ).alias("c_lon"),
-        (
-            F.when(degenerate, mean_y).otherwise(cy_num / (F.lit(3.0) * area2)) + oy
-        ).alias("c_lat"),
+    return {
+        "n": n,
+        "a2": a2,
+        "gx": cx_num / F.lit(3.0) + ox * a2,
+        "gy": cy_num / F.lit(3.0) + oy * a2,
+        # try_divide: empty ring (n=0, flagged upstream) → NULL, not an
+        # ANSI DIVIDE_BY_ZERO error
+        "mean_x": F.try_divide(
+            F.aggregate(xs, F.lit(0.0), lambda a, v: a + v), n) + ox,
+        "mean_y": F.try_divide(
+            F.aggregate(ys, F.lit(0.0), lambda a, v: a + v), n) + oy,
+    }
+
+
+def way_centroids(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact polygon (shoelace) centroid per way via a distributed
+    node-location join — the Spark analog of osmium's location cache.
+    Degenerate rings (|area| ~ 0: lines, single points) fall back to the
+    vertex mean. Refs are joined positionally and re-assembled in order
+    with array_sort(collect_list(struct(pos, ...))) — associative, so the
+    groupBy is one shuffle regardless of input partitioning.
+
+    Ways whose member nodes are absent (clipped extracts, multi-file
+    inputs) come out ``complete = false`` with NULL coordinates — a
+    partial ring would otherwise yield a plausibly-wrong centroid."""
+    w = ways.select(
+        "way_id", F.size("refs").alias("n_refs"),
+        F.posexplode("refs").alias("pos", "ref"),
     )
-    return ctr
+    coords = w.join(
+        nodes.select(F.col("node_id").alias("ref"), "lat", "lon"), "ref", "left"
+    )
+    ring = coords.groupBy("way_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("lat").isNotNull(), F.struct("pos", "lon", "lat"))
+            )
+        ).alias("_r"),
+        F.count("lat").alias("_nres"),
+        F.max("n_refs").alias("_nref"),
+    )
+    sc = _ring_shoelace(F.col("_r"))
+    complete = F.col("_nres") == F.col("_nref")
+    degenerate = F.abs(sc["a2"]) < F.lit(1e-13)
+    nd = F.lit(None).cast("double")
+    return ring.select(
+        "way_id",
+        F.when(~complete, nd)
+        .when(degenerate, sc["mean_x"])
+        .otherwise(sc["gx"] / sc["a2"])
+        .alias("c_lon"),
+        F.when(~complete, nd)
+        .when(degenerate, sc["mean_y"])
+        .otherwise(sc["gy"] / sc["a2"])
+        .alias("c_lat"),
+        complete.alias("complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relation areas: multipolygon assembly (osmium's 2-pass area mode,
+# 03_import_pbf_optimized.py:90-135) re-expressed as a grouped-Arrow stitch
+# + column-math centroid
+# ---------------------------------------------------------------------------
+
+_RINGS_SCHEMA = (
+    "rel_id long, ring_idx int, role string, "
+    "ring array<struct<lon double, lat double>>, ok boolean"
+)
+
+
+def _assembled_rings(relations: DataFrame, ways: DataFrame,
+                     nodes: DataFrame) -> DataFrame:
+    """Stitch each relation's way members into closed rings.
+
+    Members arrive as ordered coordinate segments (way refs joined to node
+    locations — the same distributed join as way_centroids); rings are
+    assembled per relation by endpoint matching inside ``applyInPandas``
+    (bounded group = one relation's members; inherently sequential, so a
+    grouped-Arrow task — not per-row Python — is the right tool). Exact
+    float endpoint equality is sound: both endpoints derive from the SAME
+    node row. Output rows are closed rings; ``ok = false`` marks relations
+    with unresolved members / unclosable rings (clipped extracts), whose
+    geometry must not be trusted."""
+    mem = relations.select("rel_id", F.explode("members").alias("m"))
+    wmem = mem.filter(F.col("m.mtype") == 1).select(
+        "rel_id", F.col("m.role").alias("role"), F.col("m.mid").alias("way_id")
+    )
+    wr = wmem.join(
+        ways.select("way_id", F.size("refs").alias("n_refs"), "refs"),
+        "way_id", "left",
+    )
+    ex = wr.select(
+        "rel_id", "way_id", "role", "n_refs",
+        F.posexplode_outer("refs").alias("pos", "ref"),
+    )
+    co = ex.join(
+        nodes.select(F.col("node_id").alias("ref"), "lat", "lon"), "ref", "left"
+    )
+    segs = co.groupBy("rel_id", "way_id", "role").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("lat").isNotNull(), F.struct("pos", "lon", "lat"))
+            )
+        ).alias("pts"),
+        F.count("lat").alias("nres"),
+        F.max("n_refs").alias("nref"),
+    )
+
+    def assemble(pdf):
+        import pandas as pd
+
+        rel_id = int(pdf["rel_id"].iloc[0])
+        ok = True
+        pool: list[tuple[str, list[tuple[float, float]]]] = []
+        for role, pts, nref, nres in zip(
+            pdf["role"], pdf["pts"], pdf["nref"], pdf["nres"]
+        ):
+            if pd.isna(nref) or int(nres) != int(nref) or int(nres) < 2:
+                ok = False
+                continue
+            coords = [(float(p["lon"]), float(p["lat"])) for p in pts]
+            pool.append(("inner" if role == "inner" else "outer", coords))
+        rings: list[tuple[str, list[tuple[float, float]]]] = []
+        for want in ("outer", "inner"):
+            open_segs = [c for r, c in pool if r == want]
+            while open_segs:
+                cur = open_segs.pop()
+                while cur[0] != cur[-1]:
+                    for k, seg in enumerate(open_segs):
+                        if seg[0] == cur[-1]:
+                            cur = cur + seg[1:]
+                            open_segs.pop(k)
+                            break
+                        if seg[-1] == cur[-1]:
+                            cur = cur + seg[-2::-1]
+                            open_segs.pop(k)
+                            break
+                    else:
+                        ok = False
+                        break
+                if cur[0] == cur[-1]:
+                    rings.append((want, cur))
+        rows = [
+            (rel_id, i, role,
+             [{"lon": x, "lat": y} for x, y in ring], None)
+            for i, (role, ring) in enumerate(rings)
+        ] or [(rel_id, 0, "outer", [], None)]
+        out = pd.DataFrame(
+            rows, columns=["rel_id", "ring_idx", "role", "ring", "ok"]
+        )
+        out["ok"] = ok
+        return out
+
+    return segs.groupBy("rel_id").applyInPandas(assemble, _RINGS_SCHEMA)
+
+
+def relation_area_centroids(relations: DataFrame, ways: DataFrame,
+                            nodes: DataFrame) -> DataFrame:
+    """Signed-area centroid per relation over its assembled rings: outer
+    rings add, inner rings (holes) subtract — ring winding normalized by
+    role, so either digitization direction is accepted. Degenerate total
+    area falls back to the outer-ring vertex mean. Relations with broken
+    geometry come out ``complete = false`` with NULL coordinates."""
+    rings = _assembled_rings(relations, ways, nodes)
+    sc = _ring_shoelace(F.col("ring"))
+    outer = F.col("role") != "inner"
+    flip = (sc["a2"] < 0) == outer
+    sgn = F.when(flip, F.lit(-1.0)).otherwise(F.lit(1.0))
+    per = rings.select(
+        "rel_id",
+        (sgn * sc["a2"]).alias("_a2"),
+        (sgn * sc["gx"]).alias("_gx"),
+        (sgn * sc["gy"]).alias("_gy"),
+        F.when(outer, sc["mean_x"] * sc["n"]).alias("_mxn"),
+        F.when(outer, sc["mean_y"] * sc["n"]).alias("_myn"),
+        F.when(outer, sc["n"]).alias("_on"),
+        "ok",
+    )
+    agg = per.groupBy("rel_id").agg(
+        F.sum("_a2").alias("a2"),
+        F.sum("_gx").alias("gx"),
+        F.sum("_gy").alias("gy"),
+        F.try_divide(F.sum("_mxn"), F.sum("_on")).alias("fb_x"),
+        F.try_divide(F.sum("_myn"), F.sum("_on")).alias("fb_y"),
+        F.min("ok").alias("complete"),
+    )
+    nd = F.lit(None).cast("double")
+    degenerate = F.abs(F.col("a2")) < F.lit(1e-13)
+    return agg.select(
+        "rel_id",
+        F.when(~F.col("complete"), nd)
+        .when(degenerate, F.col("fb_x"))
+        .otherwise(F.col("gx") / F.col("a2"))
+        .alias("c_lon"),
+        F.when(~F.col("complete"), nd)
+        .when(degenerate, F.col("fb_y"))
+        .otherwise(F.col("gy") / F.col("a2"))
+        .alias("c_lat"),
+        "complete",
+    )
+
+
+def relation_boundary_rings(relations: DataFrame, ways: DataFrame,
+                            nodes: DataFrame,
+                            admin_level: str | None = None) -> DataFrame:
+    """Admin-boundary ingest (02_extract_alkis.py:263-311 semantics):
+    assembled OUTER rings of ``type=boundary`` + ``boundary=administrative``
+    relations, shaped for geo/pip.pip_join — (name, admin_level,
+    ring:array<struct<lon,lat>>)."""
+    sel = relations.filter(
+        (F.col("rtype") == "boundary")
+        & (F.col("boundary") == "administrative")
+    )
+    if admin_level is not None:
+        sel = sel.filter(F.col("admin_level") == str(admin_level))
+    rings = _assembled_rings(sel, ways, nodes).filter(
+        F.col("ok") & (F.col("role") != "inner")
+    )
+    return rings.join(
+        sel.select("rel_id", "name", "admin_level"), "rel_id"
+    ).select("name", "admin_level", "ring")
 
 
 def pbf_addresses(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
-    """The reference's import contract (03:58-88): rows with
-    addr:housenumber AND (addr:street | addr:place); housename = name when
-    it starts with 'haus'; nodes keep their point, ways their polygon
-    centroid. Output: (street, housenumber, housename, city, lon, lat)."""
+    """The reference's import contract (03:58-88 + area mode 03:90-135):
+    rows with addr:housenumber AND (addr:street | addr:place); housename =
+    name when it starts with 'haus'; nodes keep their point, ways their
+    polygon centroid, multipolygon RELATIONS their assembled-area centroid
+    (courtyard buildings). Output: (street, housenumber, housename, city,
+    lon, lat). Incomplete geometries (clipped extracts) are dropped, like
+    osmium's invalid-location skip."""
     nodes = pbf_nodes(spark, paths)
     ways = pbf_ways(spark, paths)
     node_addrs = _address_projection(nodes, F.col("lat"), F.col("lon"))
     ctr = way_centroids(ways, nodes)
     way_addrs = _address_projection(
-        ways.join(ctr, "way_id"), F.col("c_lat"), F.col("c_lon")
+        ways.join(ctr, "way_id").filter("complete"),
+        F.col("c_lat"), F.col("c_lon"),
     )
-    return node_addrs.unionByName(way_addrs)
+    rels = pbf_relations(spark, paths).filter(F.col("rtype") == "multipolygon")
+    rctr = relation_area_centroids(rels, ways, nodes)
+    rel_addrs = _address_projection(
+        rels.join(rctr, "rel_id").filter("complete"),
+        F.col("c_lat"), F.col("c_lon"),
+    )
+    return node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
 
 
 # ---------------------------------------------------------------------------
@@ -473,16 +790,20 @@ def write_pbf(
     dense_nodes: list[dict],
     ways: list[dict] | None = None,
     plain_nodes: list[dict] | None = None,
+    relations: list[dict] | None = None,
     blob_size: int = 8000,
 ) -> None:
     """Write a minimal valid .osm.pbf. Each node/way dict: ``id``, ``tags``
-    (dict), nodes also ``lat``/``lon`` (degrees), ways ``refs`` (node ids).
+    (dict), nodes also ``lat``/``lon`` (degrees), ways ``refs`` (node ids),
+    relations ``members`` = [(role, mtype 0|1|2, member_id)].
     Nodes are chunked into multiple OSMData blobs so tests exercise the
     blob-split path."""
     ways = ways or []
     plain_nodes = plain_nodes or []
+    relations = relations or []
 
-    def block_bytes(dense: list[dict], plain: list[dict], wlist: list[dict]) -> bytes:
+    def block_bytes(dense: list[dict], plain: list[dict], wlist: list[dict],
+                    rlist: list[dict]) -> bytes:
         strings = [""]
         sidx: dict[str, int] = {"": 0}
 
@@ -540,6 +861,24 @@ def write_pbf(
             way_group += _enc_bytes(3, way)
         if way_group:
             groups += _enc_bytes(2, bytes(way_group))
+        rel_group = bytearray()
+        for r in rlist:
+            keys = [s(k) for k in r.get("tags", {})]
+            vals = [s(v) for v in r.get("tags", {}).values()]
+            members = r.get("members", [])
+            rel = (
+                _enc_scalar(1, r["id"])
+                + _enc_packed(2, keys)
+                + _enc_packed(3, vals)
+                + _enc_packed(8, [s(role) for role, _, _ in members])
+                + _enc_packed(
+                    9, [mid for _, _, mid in members], signed=True, delta=True
+                )
+                + _enc_packed(10, [mt for _, mt, _ in members])
+            )
+            rel_group += _enc_bytes(4, rel)
+        if rel_group:
+            groups += _enc_bytes(2, bytes(rel_group))
 
         st = b"".join(_enc_bytes(1, x.encode("utf-8")) for x in strings)
         return _enc_bytes(1, st) + bytes(groups) + _enc_scalar(17, 100)
@@ -569,6 +908,7 @@ def write_pbf(
                         chunk,
                         plain_nodes if last else [],
                         ways if last else [],
+                        relations if last else [],
                     ),
                 )
             )

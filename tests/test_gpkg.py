@@ -54,12 +54,19 @@ def test_parallel_scan_and_centroids(spark, gpkg_file):
     df = gpkg.read_gpkg_layer(
         spark, gpkg_file, layer_contains="GebauedeBauwerk", batch_rows=64
     )
-    rows = {(r["street"], r["housenumber"]): r for r in df.collect()}
-    assert len(rows) == 302
+    collected = df.collect()
+    # 300 grid squares + hole-polygon + point = 302 raw features; the
+    # (street, housenumber) keys collide by construction (i%7 × i%30 →
+    # only lcm=210 grid pairs + 2 specials = 212 distinct)
+    assert len(collected) == 302
+    rows = {(r["street"], r["housenumber"]): r for r in collected}
+    assert len(rows) == 212
     anchor = crs.utm32_py(50.7754, 6.0839)
-    first = rows[("Weg 0", "1")]
-    assert first["x"] == pytest.approx(anchor[0], abs=1e-6)
-    assert first["y"] == pytest.approx(anchor[1], abs=1e-6)
+    # i=100 is the only fixture row with this key (collision pairs are
+    # (i, i+210) for i<90): centroid = anchor + (100%20, 100//20)·50
+    only = rows[("Weg 2", "11")]
+    assert only["x"] == pytest.approx(anchor[0] + 0 * 50.0, abs=1e-6)
+    assert only["y"] == pytest.approx(anchor[1] + 5 * 50.0, abs=1e-6)
     # hole shifts the centroid away from the hole quadrant
     h = rows[("Hofweg", "99")]
     area, hole = 400.0, 16.0
@@ -72,9 +79,11 @@ def test_wgs84_reprojection_column_math(spark, gpkg_file):
     df = gpkg.with_wgs84(
         gpkg.read_gpkg_layer(spark, gpkg_file, layer_contains="GebauedeBauwerk")
     )
-    r = df.filter("street = 'Weg 0' AND housenumber = '1'").collect()[0]
-    assert r["lat"] == pytest.approx(50.7754, abs=1e-7)
-    assert r["lon"] == pytest.approx(6.0839, abs=1e-7)
+    r = df.filter("street = 'Weg 2' AND housenumber = '11'").collect()[0]
+    anchor = crs.utm32_py(50.7754, 6.0839)
+    exp_lat, exp_lon = crs.utm32_inverse_py(anchor[0], anchor[1] + 250.0)
+    assert r["lat"] == pytest.approx(exp_lat, abs=1e-7)
+    assert r["lon"] == pytest.approx(exp_lon, abs=1e-7)
     # plan stays JVM-side: no Python eval node for the reprojection
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") <= 1
