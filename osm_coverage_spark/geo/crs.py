@@ -216,6 +216,13 @@ def utm32_sql(lat: str, lon: str) -> tuple[str, str]:
     return e.s, n.s
 
 
+def utm32_inverse_sql(e: str, n: str) -> tuple[str, str]:
+    """(lat_sql, lon_sql) — the inverse series as dialect-shared SQL text
+    (same expression tree as utm32_inverse_cols, for oracle parity)."""
+    lat, lon = _utm32_inverse(_Sql(f"({e})"), _Sql(f"({n})"), _SqlOps())
+    return lat.s, lon.s
+
+
 def planar_dist_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Euclidean meters in EPSG:25832 — the reference's exact metric."""
     e1, n1 = utm32_cols(lat1, lon1)
