@@ -1,16 +1,15 @@
-"""Deterministic image codec for the graft payload.
-
-PIL/libjpeg are not available in this container, so the codec is a
-clearly-marked deterministic fake with real Spark-side plumbing (schema,
-batching, UDF signatures) — exactly what BASELINE.json's input_hint allows
-("STUB the decode step behind a deterministic fake"). Real decode slots in
-behind ``decode_real`` once PIL exists.
+"""Image codec for the graft payload.
 
 Formats:
-- ``png``  — lossless: header + raw uint8 pixels + caption payload.
-- ``jpeg`` — lossy: pixels quantized to steps of 4 (max |err| = 2 per
+- ``png``  — REAL spec-conformant PNG (images/png.py: pure-stdlib zlib +
+  per-row filter reconstruction, caption carried in an iTXt chunk). The
+  encode→decode→verify pipeline exercises actual PNG bytes, no fake.
+- ``jpeg`` — deterministic FAKE (libjpeg/PIL absent in this container —
+  BASELINE.json's input_hint allows "STUB the decode step behind a
+  deterministic fake"): pixels quantized to steps of 4 (max |err| = 2 per
   channel → MSE <= 4 → PSNR >= 10*log10(255^2/4) ≈ 42 dB > the 40 dB
-  gate), caption lossless.
+  gate), caption lossless. Real JPEG decode slots in behind
+  ``decode_real`` once PIL exists.
 
 Pixels themselves are synthesized deterministically from the image id, so
 any executor can regenerate the ground-truth array without shipping it.
@@ -41,48 +40,59 @@ def encode(arr: np.ndarray, caption: str, fmt: str) -> bytes:
     h, w = arr.shape[:2]
     if fmt == "jpeg":
         payload = ((arr.astype(np.int16) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
-        magic = MAGIC_JPG
-    elif fmt == "png":
-        payload = arr
-        magic = MAGIC_PNG
-    else:
-        raise ValueError(f"unknown fmt {fmt!r}")
-    cap = caption.encode("utf-8")
-    return (
-        magic
-        + struct.pack("<III", w, h, len(cap))
-        + cap
-        + payload.tobytes()
-    )
+        cap = caption.encode("utf-8")
+        return (
+            MAGIC_JPG
+            + struct.pack("<III", w, h, len(cap))
+            + cap
+            + payload.tobytes()
+        )
+    if fmt == "png":
+        from . import png as _png
+
+        # filter 0 rows: both encode and decode stay numpy-vectorized in
+        # the hot pipeline; the slow-but-exact Average/Paeth branches are
+        # exercised by tests via filter_mode="cycle"
+        return _png.encode_png(arr, filter_mode="none",
+                               texts={"caption": caption})
+    raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(data: bytes) -> tuple[np.ndarray, str, str]:
-    """→ (pixels, caption, fmt). The deterministic-fake decoder."""
+    """→ (pixels, caption, fmt). Real PNG; deterministic fake for JPEG."""
+    from . import png as _png
+
+    if _png.is_png(data):
+        arr = _png.decode_png(data)
+        cap = _png.read_texts(data).get("caption", "")
+        return arr, cap, "png"
     magic, rest = data[:4], data[4:]
-    if magic == MAGIC_PNG:
-        fmt = "png"
-    elif magic == MAGIC_JPG:
-        fmt = "jpeg"
-    else:
-        raise ValueError("not a fake-codec payload")
+    if magic != MAGIC_JPG:
+        raise ValueError("neither PNG nor fake-jpeg payload")
     w, h, clen = struct.unpack("<III", rest[:12])
     cap = rest[12 : 12 + clen].decode("utf-8")
     arr = np.frombuffer(rest[12 + clen :], dtype=np.uint8).reshape(h, w, 3)
-    return arr, cap, fmt
+    return arr, cap, "jpeg"
 
 
-def decode_real(data: bytes):  # pragma: no cover - environment-gated
-    """Real image decode — plugs in when PIL is installed."""
-    try:
+def decode_real(data: bytes):
+    """Real image decode. PNG is decoded by the pure-stdlib codec
+    (images/png.py — zlib + full filter reconstruction, no PIL); other
+    formats (JPEG et al.) need PIL, absent in this sandbox."""
+    from . import png
+
+    if png.is_png(data):
+        return png.decode_png(data)
+    try:  # pragma: no cover - environment-gated
         import io
 
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decode requires PIL; this sandbox uses the "
-            "deterministic fake codec (decode())"
+            "real decode for non-PNG formats requires PIL; this sandbox "
+            "uses the deterministic fake codec (decode()) for JPEG"
         ) from exc
-    return np.asarray(Image.open(io.BytesIO(data)))
+    return np.asarray(Image.open(io.BytesIO(data)))  # pragma: no cover
 
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:

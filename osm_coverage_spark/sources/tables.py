@@ -57,17 +57,35 @@ def read_table(spark: SparkSession, identifier_or_path: str) -> DataFrame:
     return spark.read.parquet(identifier_or_path)
 
 
+def _table_version(target: str) -> tuple[int, int]:
+    """Commit token of the parquet stand-in: the target directory's inode +
+    mtime. Every committed swap replaces the directory (rename), so a
+    changed token == someone else committed — Iceberg's snapshot-id
+    analog."""
+    import os
+
+    st = os.stat(target)
+    return (st.st_ino, st.st_mtime_ns)
+
+
 def merge_upsert(
     spark: SparkSession,
     target: str,
     updates: DataFrame,
     key_cols: tuple[str, ...],
+    max_retries: int = 5,
 ) -> None:
     """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
 
     Iceberg executes the real MERGE; the parquet stand-in rewrites the
     target deterministically via anti-join + union (the same semantics
-    operators/history.upsert_history uses for the lazy in-plan form)."""
+    operators/history.upsert_history uses for the lazy in-plan form) —
+    with Iceberg's OPTIMISTIC CONCURRENCY contract: the table version
+    (snapshot id analog) is captured at read, re-checked under a commit
+    lock before the swap, and a concurrent commit triggers a re-read +
+    re-merge retry instead of a lost update. Last-writer-wins applies only
+    per conflicting key (exactly MERGE semantics); non-conflicting rows
+    from a concurrent commit survive."""
     if iceberg_available(spark) and "." in target:
         updates.createOrReplaceTempView("_merge_src")
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
@@ -76,25 +94,55 @@ def merge_upsert(
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
         return
-    current = read_table(spark, target)
-    keep = current.join(updates.select(*key_cols), list(key_cols), "left_anti")
-    merged = keep.unionByName(updates)
-    # parquet has no transactional replace: write to a temp dir, move the
-    # old target to a backup, move the new one into place, drop the backup —
-    # a crash at any point leaves either the old or the new table intact
-    # (never neither, which rmtree-then-rename risked)
     import os
     import shutil
+    import time
     import uuid
 
-    token = uuid.uuid4().hex[:8]
-    tmp = f"{target}__merge_{token}"
-    bak = f"{target}__bak_{token}"
-    merged.write.mode("overwrite").parquet(tmp)
-    os.rename(target, bak)
-    try:
-        os.rename(tmp, target)
-    except Exception:
-        os.rename(bak, target)  # roll back; tmp left behind for inspection
-        raise
-    shutil.rmtree(bak)
+    lock = f"{target}__commitlock"
+    for _ in range(max_retries):
+        ver = _table_version(target)
+        current = read_table(spark, target)
+        keep = current.join(
+            updates.select(*key_cols), list(key_cols), "left_anti"
+        )
+        merged = keep.unionByName(updates)
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{target}__merge_{token}"
+        bak = f"{target}__bak_{token}"
+        try:
+            # executes the read: a swap racing this write can yank files —
+            # surfaces as an IO error, handled as a conflict (retry)
+            merged.write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            time.sleep(0.05)
+            continue
+        # commit lock: one swapper at a time (O_EXCL creation)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            time.sleep(0.05)
+            continue
+        try:
+            if _table_version(target) != ver:
+                # someone committed since our read → retry on fresh state
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            # crash-safe swap: at any point either the old or the new
+            # table exists (never neither)
+            os.rename(target, bak)
+            try:
+                os.rename(tmp, target)
+            except Exception:
+                os.rename(bak, target)  # roll back; tmp left for inspection
+                raise
+            shutil.rmtree(bak)
+            return
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+    raise RuntimeError(
+        f"merge_upsert: gave up after {max_retries} concurrent-commit retries"
+    )

@@ -72,10 +72,18 @@ def main() -> None:
     # variance (per-JVM JIT/allocator state), so the claim-carrying groups
     # take many samples and report the fastest (the level's steady-state
     # capability); context groups take fewer.
-    kernels = run_group(spark, SCALING_KERNELS, sf_dir, max(repeats, 3), cpus)
-    probes = run_group(spark, BOX_PROBES, sf_dir, max(repeats, 3), cpus)
-    e2e = run_group(spark, SCALING_E2E, sf_dir, max(repeats, 5), cpus)
-    pipeline = run_group(spark, pipeline_workload(), sf_dir, min(repeats, 2), cpus)
+    # SPARK_GRAFT_GROUPS=kernels,probes,... runs a subset (bisection runs).
+    groups = os.environ.get("SPARK_GRAFT_GROUPS", "kernels,probes,e2e,pipeline")
+    want = set(groups.split(","))
+    kernels = probes = e2e = pipeline = {}
+    if "kernels" in want:
+        kernels = run_group(spark, SCALING_KERNELS, sf_dir, max(repeats, 3), cpus)
+    if "probes" in want:
+        probes = run_group(spark, BOX_PROBES, sf_dir, max(repeats, 3), cpus)
+    if "e2e" in want:
+        e2e = run_group(spark, SCALING_E2E, sf_dir, max(repeats, 5), cpus)
+    if "pipeline" in want:
+        pipeline = run_group(spark, pipeline_workload(), sf_dir, min(repeats, 2), cpus)
     spark.stop()
     print(json.dumps({
         "cpus": cpus,

@@ -97,7 +97,27 @@ def test_inverse_projection_roundtrip():
         assert abs(la2 - la) < 1e-8 and abs(lo2 - lo) < 1e-8
 
 
-def test_empty_layer(spark, tmp_path):
+def test_sparse_rowids_bounded_splits(spark, tmp_path):
+    """ADVICE r2: rowids with huge gaps (deletes / big INTEGER PRIMARY
+    KEYs) must not explode the driver-side split list — splits derive from
+    ACTUAL rowids, capped, and still return every row."""
+    import sqlite3
+
+    path = str(tmp_path / "sparse.gpkg")
+    rows = [(f"S{i}", "1", "D", gpkg.wkb_point(float(i), 0.0))
+            for i in range(40)]
+    gpkg.write_gpkg(path, "feats", 4326,
+                    [("street", "TEXT"), ("housenumber", "TEXT"),
+                     ("district", "TEXT")], rows)
+    con = sqlite3.connect(path)
+    # blow the rowids apart: gaps of ~25 billion between consecutive rows
+    con.execute("UPDATE feats SET rowid = rowid * 25000000000")
+    con.commit()
+    con.close()
+    df = gpkg.read_gpkg_layer(spark, path, layer="feats", batch_rows=8)
+    assert df.rdd.getNumPartitions() <= 40  # not span/batch_rows ≈ 10^11
+    assert df.count() == 40
+    assert {r["street"] for r in df.collect()} == {f"S{i}" for i in range(40)}
     path = str(tmp_path / "empty.gpkg")
     gpkg.write_gpkg(path, "feats", 4326, [("a", "TEXT")], [])
     df = gpkg.read_gpkg_layer(spark, path, layer="feats")

@@ -25,9 +25,14 @@ def test_codec_jpeg_psnr_gate():
     assert p >= 40.0, p
 
 
-def test_decode_real_is_gated():
+def test_decode_real_png_works_jpeg_gated():
+    # PNG path is REAL (pure-stdlib images/png.py), no PIL needed
+    arr = codec.synth_pixels("img_r", 32, 16)
+    data = codec.encode(arr, "cap", "png")
+    assert np.array_equal(codec.decode_real(data), arr)
+    # non-PNG formats remain PIL-gated in this sandbox
     with pytest.raises(NotImplementedError):
-        codec.decode_real(b"\x89PNG...")
+        codec.decode_real(b"\xff\xd8\xff\xe0 not decodable")
 
 
 def test_phash_deterministic_and_discriminative():

@@ -154,3 +154,74 @@ def test_hot_cell_detection_finds_planted_hotspot(spark, sf_dir):
     assert len(hot) >= 1  # the planted ~20% urban blob
     total = img.count()
     assert max(r["cell_rows"] for r in hot) > total * 0.15
+
+
+def test_flag_join_skew_split_on_planted_hot_key(spark):
+    """VERDICT r2 #8: the flag left-join back on (key, lat, lon) re-shuffles
+    the wide ALKIS side; with a planted hot key (urban-blob shape — one
+    street triple carrying ~75 % of all rows) AQE's skew-join must SPLIT the
+    hot partition instead of serializing it through one task. Thresholds are
+    lowered so the sf-test-sized input crosses them; the assertion is on the
+    executed adaptive plan ('skew=true' on a SortMergeJoin)."""
+    from osm_coverage_spark.operators import coverage
+
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # keep the small shuffle from being coalesced into one partition
+        # (a single post-coalesce partition cannot be 'skewed')
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        pid = F.col("id")
+        hot = pid % 4 != 0  # 75 % of rows share ONE (key, lat, lon) triple
+        filler = F.repeat(F.concat(F.lit("x"), (pid % 97).cast("string")), 40)
+        alkis = spark.range(0, 60_000, 1, 16).select(
+            F.when(hot, F.lit("Hauptstraße")).otherwise(
+                F.concat(F.lit("Weg "), (pid % 5000).cast("string"))
+            ).alias("street"),
+            F.when(hot, F.lit("1")).otherwise(
+                (pid % 90 + 1).cast("string")
+            ).alias("housenumber"),
+            F.when(hot, F.lit(50.93)).otherwise(
+                F.lit(50.0) + (pid % 1000).cast("double") * 1e-4
+            ).alias("lat"),
+            F.when(hot, F.lit(6.95)).otherwise(
+                F.lit(6.0) + (pid % 1000).cast("double") * 1e-4
+            ).alias("lon"),
+            filler.alias("wide_payload"),
+        )
+        alkis = alkis.withColumn(
+            "key",
+            coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
+        )
+        osm = spark.range(0, 2_000, 1, 4).select(
+            F.concat(F.lit("Weg "), (pid % 5000).cast("string")).alias("street"),
+            (pid % 90 + 1).cast("string").alias("housenumber"),
+            (F.lit(50.0) + (pid % 1000).cast("double") * 1e-4).alias("lat"),
+            (F.lit(6.0) + (pid % 1000).cast("double") * 1e-4).alias("lon"),
+        )
+        osm = osm.withColumn(
+            "key",
+            coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
+        )
+        flagged = coverage.flag_found(alkis, osm)
+        # collect() on THIS object: AQE finalizes (isFinalPlan=true) only
+        # for the executed DataFrame's own QueryExecution
+        flagged.collect()
+        plan = _plan(flagged)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

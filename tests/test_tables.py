@@ -65,6 +65,52 @@ def test_merge_standin_equals_inplan_upsert_contract(spark):
         assert via_merge == via_plan
 
 
+def test_merge_concurrent_commit_not_lost(spark, monkeypatch):
+    """Snapshot-isolation contract (Iceberg optimistic concurrency): writer
+    B commits between writer A's read and A's swap. A must retry on the
+    fresh state (version-token check under the commit lock) — B's
+    non-conflicting row SURVIVES, instead of the naive last-writer-wins
+    lost update."""
+    from osm_coverage_spark.sources.tables import _table_version as real_ver
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "hist")
+        base = spark.createDataFrame(
+            [("a", "2024-01-01", 1)], "name string, date string, missing int"
+        )
+        tables.write_table(base, target)
+        upd_a = spark.createDataFrame(
+            [("a", "2024-01-02", 2)], "name string, date string, missing int"
+        )
+        upd_b = spark.createDataFrame(
+            [("b", "2024-01-01", 9)], "name string, date string, missing int"
+        )
+        state = {"first": True}
+
+        def interleaved(path):
+            if state["first"]:
+                state["first"] = False
+                stale = real_ver(path)
+                # B's full merge lands while A believes the table is at
+                # the stale version
+                tables.merge_upsert(spark, target, upd_b, ("name", "date"))
+                return stale
+            return real_ver(path)
+
+        monkeypatch.setattr(tables, "_table_version", interleaved)
+        tables.merge_upsert(spark, target, upd_a, ("name", "date"))
+        monkeypatch.undo()
+        got = {
+            (r["name"], r["date"]): r["missing"]
+            for r in tables.read_table(spark, target).collect()
+        }
+        assert got == {
+            ("a", "2024-01-01"): 1,
+            ("a", "2024-01-02"): 2,  # A's row committed
+            ("b", "2024-01-01"): 9,  # B's concurrent row NOT lost
+        }
+
+
 def test_merge_swap_failure_leaves_recoverable_table(spark, monkeypatch):
     """A crash during the swap must leave the old table readable (the
     backup-rename protocol), never a missing target."""
