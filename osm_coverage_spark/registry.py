@@ -7,11 +7,11 @@ rows-only check (non-SQL-expressible op).
 
 from __future__ import annotations
 
-from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_text, queries_tpch
+from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch
 
 QUERIES = {}
 ORACLE = {}
 
-for mod in (queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_text, queries_tpch):
+for mod in (queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)
