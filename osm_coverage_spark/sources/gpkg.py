@@ -93,29 +93,101 @@ def _ring(wkb, off: int, bo: str):
     return pts, off + 4 + 16 * n
 
 
+def _seg_intersection(p, q, r, s):
+    """Proper interior intersection point of segments pq and rs, or None."""
+    d1x, d1y = q[0] - p[0], q[1] - p[1]
+    d2x, d2y = s[0] - r[0], s[1] - r[1]
+    den = d1x * d2y - d1y * d2x
+    if den == 0.0:
+        return None
+    t = ((r[0] - p[0]) * d2y - (r[1] - p[1]) * d2x) / den
+    u = ((r[0] - p[0]) * d1y - (r[1] - p[1]) * d1x) / den
+    if 1e-12 < t < 1.0 - 1e-12 and 1e-12 < u < 1.0 - 1e-12:
+        return (p[0] + t * d1x, p[1] + t * d1y)
+    return None
+
+
+def repair_ring(ring: list) -> list[list]:
+    """Split a self-intersecting closed ring into simple sub-rings — the
+    reference's ``buffer(0)`` repair (02_extract_alkis.py:241-258) for the
+    bowtie/figure-8 class: crossing points are inserted into the vertex
+    sequence, then every loop between two visits of the same point becomes
+    its own ring. A valid ring returns unchanged as ``[ring]``.
+
+    The caller's per-ring orientation normalization then gives each lobe
+    positive (outer) / negative (hole) area, so a bowtie whose naive
+    shoelace cancels to ~0 gets the union-of-lobes centroid, like shapely's
+    buffer(0). Crossing-point tuples are inserted as the SAME object on
+    both segments, so the loop-split's exact-equality test is sound."""
+    pts = list(ring)
+    changed, guard = True, 0
+    while changed and guard < 16:
+        changed, guard = False, guard + 1
+        m = len(pts) - 1
+        for i in range(m):
+            for j in range(i + 2, m):
+                if i == 0 and j == m - 1:
+                    continue  # wrap-adjacent segments share an endpoint
+                x = _seg_intersection(pts[i], pts[i + 1], pts[j], pts[j + 1])
+                if x is not None:
+                    pts = (pts[: i + 1] + [x] + pts[i + 1 : j + 1]
+                           + [x] + pts[j + 1 :])
+                    changed = True
+                    break
+            if changed:
+                break
+    if guard == 1:  # no crossing ever found: the common (valid) case
+        return [pts]
+    loops: list[list] = []
+    path: list = []
+    index: dict = {}
+    for pt in pts[:-1]:
+        if pt in index:
+            k = index[pt]
+            loop = path[k:] + [pt]
+            for p2 in path[k:]:
+                index.pop(p2, None)
+            del path[k:]
+            if len(loop) >= 4:
+                loops.append(loop)
+        index[pt] = len(path)
+        path.append(pt)
+    if len(path) >= 3:
+        loops.append(path + [path[0]])
+    return loops or [list(ring)]
+
+
+def _accum_one(xy: list, sign: float, acc: list) -> None:
+    """Shoelace accumulation of ONE simple ring (closed vertex list)."""
+    ox, oy = xy[0]  # local origin: kill FP cancellation
+    a2 = cx = cy = 0.0
+    for i in range(len(xy) - 1):
+        x0, y0 = xy[i][0] - ox, xy[i][1] - oy
+        x1, y1 = xy[i + 1][0] - ox, xy[i + 1][1] - oy
+        c = x0 * y1 - x1 * y0
+        a2 += c
+        cx += (x0 + x1) * c
+        cy += (y0 + y1) * c
+    # normalize ring orientation so holes subtract regardless of winding
+    if (a2 < 0) != (sign < 0):
+        a2, cx, cy = -a2, -cx, -cy
+    # ring moment in GLOBAL coords, scaled so Cx = Σcx / Σa2:
+    # ∫x dA = cx/6 + ox·a2/2  →  ×(2/1): cx/3 + ox·a2 over denominator a2
+    acc.append((a2, cx / 3.0 + ox * a2, cy / 3.0 + oy * a2))
+
+
 def _poly_accum(wkb, off: int, bo: str, acc: list) -> int:
-    """Accumulate (signed_area2, cx_num, cy_num) per ring; returns new off."""
+    """Accumulate (signed_area2, cx_num, cy_num) per ring; returns new off.
+    Self-intersecting rings are repaired (split into simple lobes) first —
+    reference buffer(0) parity."""
     (nrings,) = struct.unpack_from(bo + "I", wkb, off)
     off += 4
     for r in range(nrings):
         pts, off = _ring(wkb, off, bo)
-        xs, ys = pts[0::2], pts[1::2]
-        ox, oy = xs[0], ys[0]  # local origin: kill FP cancellation
-        a2 = cx = cy = 0.0
-        for i in range(len(xs) - 1):
-            x0, y0 = xs[i] - ox, ys[i] - oy
-            x1, y1 = xs[i + 1] - ox, ys[i + 1] - oy
-            c = x0 * y1 - x1 * y0
-            a2 += c
-            cx += (x0 + x1) * c
-            cy += (y0 + y1) * c
+        ring = list(zip(pts[0::2], pts[1::2]))
         sign = 1.0 if r == 0 else -1.0
-        # normalize ring orientation so holes subtract regardless of winding
-        if (a2 < 0) != (sign < 0):
-            a2, cx, cy = -a2, -cx, -cy
-        # ring moment in GLOBAL coords, scaled so Cx = Σcx / Σa2:
-        # ∫x dA = cx/6 + ox·a2/2  →  ×(2/1): cx/3 + ox·a2 over denominator a2
-        acc.append((a2, cx / 3.0 + ox * a2, cy / 3.0 + oy * a2))
+        for loop in repair_ring(ring):
+            _accum_one(loop, sign, acc)
     return off
 
 

@@ -97,6 +97,26 @@ def test_inverse_projection_roundtrip():
         assert abs(la2 - la) < 1e-8 and abs(lo2 - lo) < 1e-8
 
 
+def test_bowtie_ring_repaired_like_buffer0():
+    """Reference buffer(0) parity (02_extract_alkis.py:241-258): a figure-8
+    ring whose naive shoelace cancels to ~0 must split into its two lobes
+    and yield the union-of-lobes centroid, not None/garbage."""
+    bow = [(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (2.0, 2.0), (0.0, 0.0)]
+    pt = gpkg.parse_gpkg_geometry(
+        gpkg._gpkg_blob(gpkg.wkb_polygon([bow]), 0)
+    )
+    # lobes: triangles of equal area 1 with centroids (1, 1/3) and (1, 5/3)
+    assert pt == (pytest.approx(1.0), pytest.approx(1.0))
+
+    loops = gpkg.repair_ring(bow)
+    assert len(loops) == 2
+    assert all(loop[0] == loop[-1] and len(loop) >= 4 for loop in loops)
+
+    # a valid ring passes through unchanged
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    assert gpkg.repair_ring(sq) == [sq]
+
+
 def test_sparse_rowids_bounded_splits(spark, tmp_path):
     """ADVICE r2: rowids with huge gaps (deletes / big INTEGER PRIMARY
     KEYs) must not explode the driver-side split list — splits derive from
