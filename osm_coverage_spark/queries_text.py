@@ -130,6 +130,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b").distinct()
 
 
+JACCARD_TAU = 0.6
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity over the MinHash-LSH candidate
+    pairs — the verify stage of the classic two-phase near-dup pipeline
+    (LSH recall → exact residual precision). Set sizes only:
+    J = |A∩B| / (|A| + |B| − |A∩B|), so no array_union materialization;
+    at 10^12 docs the shingle sets join ONLY onto the candidate pairs
+    (LSH-bounded), never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    rows = T.shingle_rows(docs, "doc_id")
+    sets_ = rows.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh")
+    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 9)
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash: per-token md5-derived bit votes."""
     docs = _docs(spark, sf_dir)
@@ -345,6 +373,37 @@ pairs AS (
 SELECT id_a, id_b FROM pairs
 """
 
+ORACLE["dedup_jaccard"] = f"""{_D},
+base AS (SELECT doc_id, {_WORDS} AS w FROM docs_dup),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM base),
+sig AS (
+  SELECT doc_id, {_MH} FROM sh WHERE s IS NOT NULL
+),
+bands AS (
+  SELECT doc_id, mh0 || mh1 AS band1, mh2 || mh3 AS band2 FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(s) AS sh FROM sh WHERE s IS NOT NULL
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+           9
+         ) AS jaccard
+  FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_TAU}
+"""
+
 _TH = hexn_to_bigint("md5(w)", 4, "duckdb")
 _VOTES = ", ".join(
     f"sum(CASE WHEN (th // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -420,6 +479,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "neardup_embedding": q_neardup_embedding,
     "ann_topk": q_ann_topk,
