@@ -163,6 +163,74 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROID_MOD = 37  # deterministic coarse quantizer: vec_id % 37 == 0
+IVF_NPROBE = 3
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted-file search with a deterministic coarse
+    quantizer. Every vector is assigned to its nearest centroid (L2 over
+    the full expansion aa − 2ab + bb — sequential-fold dot products for
+    engine parity), building the inverted lists a real IVF index persists;
+    each query probes its ``IVF_NPROBE`` nearest centroids and ranks exact
+    cosine ONLY within those lists. At 10^12 rows the centroid table is
+    the broadcast side and candidates drop by ~|lists|/nprobe; recall
+    follows the standard IVF tradeoff. (Centroids are a fixed id-derived
+    subset, not k-means, so the layout is reproducible across engines —
+    the quantizer source is orthogonal to the IVF plan shape.)"""
+    derived.load_testdata(spark, sf_dir)
+    emb = spark.table("embeddings")
+    from .queries_text import _cos, _dot
+
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("e_c")
+    )
+
+    def dist2(a_col: str, c_col: str):
+        a = F.col(a_col).cast("array<double>")
+        c = F.col(c_col).cast("array<double>")
+        return _dot(a, a) - 2.0 * _dot(a, c) + _dot(c, c)
+
+    # inverted lists: nearest centroid per vector (rank 1 of nprobe ranking)
+    def probes(df, id_col: str, e_col: str, n: int):
+        x = df.crossJoin(F.broadcast(cent)).withColumn(
+            "_d2", F.round(dist2(e_col, "e_c"), 9)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_d2").asc(), F.col("cid").asc()
+        )
+        return (
+            x.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= n)
+            .drop("_d2", "_pr", "e_c")
+        )
+
+    lists = probes(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("e_t")),
+        "neighbor_id", "e_t", 1,
+    )
+    queries = probes(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("e_q")
+        ),
+        "query_id", "e_q", IVF_NPROBE,
+    )
+    scored = (
+        queries.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(_cos("e_q", "e_t"), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -285,6 +353,59 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {ANN_K}
 """
 
+def _ivf_d2(v: str, c: str) -> str:
+    dvv = f"list_dot_product(CAST({v} AS DOUBLE[]), CAST({v} AS DOUBLE[]))"
+    dvc = f"list_dot_product(CAST({v} AS DOUBLE[]), CAST({c} AS DOUBLE[]))"
+    dcc = f"list_dot_product(CAST({c} AS DOUBLE[]), CAST({c} AS DOUBLE[]))"
+    return f"({dvv} - 2.0e0 * {dvc} + {dcc})"
+
+
+_IVF_AB = "list_dot_product(CAST(q.e_q AS DOUBLE[]), CAST(l.e_t AS DOUBLE[]))"
+_IVF_AA = "list_dot_product(CAST(q.e_q AS DOUBLE[]), CAST(q.e_q AS DOUBLE[]))"
+_IVF_BB = "list_dot_product(CAST(l.e_t AS DOUBLE[]), CAST(l.e_t AS DOUBLE[]))"
+
+ORACLE["ann_ivf"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS e_c FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+),
+lists AS (
+  SELECT neighbor_id, cid, e_t FROM (
+    SELECT v.vec_id AS neighbor_id, c.cid, v.embedding AS e_t,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_ivf_d2('v.embedding', 'c.e_c')}, 9) ASC, c.cid ASC
+           ) AS pr
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, cid, e_q FROM (
+    SELECT v.vec_id AS query_id, c.cid, v.embedding AS e_q,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_ivf_d2('v.embedding', 'c.e_c')}, 9) ASC, c.cid ASC
+           ) AS pr
+    FROM embeddings v CROSS JOIN cent c
+    WHERE v.vec_id % 50 = 0
+  ) WHERE pr <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, l.neighbor_id,
+         round({_IVF_AB} / (sqrt({_IVF_AA}) * sqrt({_IVF_BB})), 9) AS sim
+  FROM probes q JOIN lists l ON q.cid = l.cid
+  WHERE q.query_id <> l.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
 QUERIES = {
     "remove_ortsteil": q_remove_ortsteil,
     "clean_street_suffixes": q_clean_street_suffixes,
@@ -293,4 +414,5 @@ QUERIES = {
     "find_comma_suffixes": q_find_comma_suffixes,
     "list_specific_streets": q_list_specific_streets,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
 }
