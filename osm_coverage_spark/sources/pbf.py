@@ -432,6 +432,104 @@ def pbf_relations(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# one-pass import → columnar storage (the reference's import step, 03:236)
+# ---------------------------------------------------------------------------
+
+ENTITY_SCHEMA = (
+    "etype string, osm_id long, lat double, lon double, "
+    "street string, place string, housenumber string, city string, "
+    "name string, rtype string, boundary string, admin_level string, "
+    "refs array<long>, "
+    "members array<struct<role string, mtype int, mid long>>"
+)
+
+
+def _decode_entities(index_batches):
+    """All three entity kinds from ONE wire decode, union-schema rows."""
+    import pandas as pd
+
+    cols = ["etype", "osm_id", "lat", "lon", "street", "place",
+            "housenumber", "city", "name", "rtype", "boundary",
+            "admin_level", "refs", "members"]
+    for batch in index_batches:
+        for path, off, size in zip(batch["path"], batch["offset"], batch["size"]):
+            with open(path, "rb") as fh:
+                fh.seek(int(off))
+                payload = fh.read(int(size))
+            nodes, ways, rels = decode_blob(payload)
+            rows = [
+                ("node", n[0], n[1], n[2], n[3], n[4], n[5], n[6], n[7],
+                 None, None, None, None, None)
+                for n in nodes
+            ] + [
+                ("way", w[0], None, None, w[1], w[2], w[3], w[4], w[5],
+                 None, None, None, w[6], None)
+                for w in ways
+            ] + [
+                ("relation", r[0], None, None, r[1], r[2], r[3], r[4], r[5],
+                 r[6], r[7], r[8], None, r[9])
+                for r in rels
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+
+def import_pbf(spark: SparkSession, paths: Iterable[str], out_dir: str) -> None:
+    """ONE wire-decode pass → parquet partitioned by entity type — the
+    reference's import step (03_import_pbf_optimized.py:236: osmium once,
+    then parquet). ``pbf_addresses`` composes three per-kind scans for
+    convenience; at 100 TB that re-decodes the protobuf three times, so
+    the lake path is: import once, query columnar storage (partition
+    pruning gives each consumer only its entity kind)."""
+    idx = blob_index(spark, paths)
+    n = max(idx.count(), 1)
+    entities = idx.repartition(min(n, 2048)).mapInPandas(
+        _decode_entities, ENTITY_SCHEMA
+    )
+    entities.write.mode("overwrite").partitionBy("etype").parquet(out_dir)
+
+
+def imported_tables(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, ways, relations) views over an ``import_pbf`` output, with
+    the per-kind reader schemas (partition pruning on ``etype``)."""
+    ent = spark.read.parquet(out_dir)
+    nodes = ent.filter(F.col("etype") == "node").select(
+        F.col("osm_id").alias("node_id"), "lat", "lon", "street", "place",
+        "housenumber", "city", "name",
+    )
+    ways = ent.filter(F.col("etype") == "way").select(
+        F.col("osm_id").alias("way_id"), "street", "place", "housenumber",
+        "city", "name", "refs",
+    )
+    rels = ent.filter(F.col("etype") == "relation").select(
+        F.col("osm_id").alias("rel_id"), "street", "place", "housenumber",
+        "city", "name", "rtype", "boundary", "admin_level", "members",
+    )
+    return nodes, ways, rels
+
+
+def pbf_addresses_from_import(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Same contract as ``pbf_addresses`` over an ``import_pbf`` output —
+    no wire re-decode."""
+    nodes, ways, rels = imported_tables(spark, out_dir)
+    node_addrs = _address_projection(nodes, F.col("lat"), F.col("lon"))
+    ctr = way_centroids(ways, nodes)
+    way_addrs = _address_projection(
+        ways.join(ctr, "way_id").filter("complete"),
+        F.col("c_lat"), F.col("c_lon"),
+    )
+    mp = rels.filter(F.col("rtype") == "multipolygon")
+    rctr = relation_area_centroids(mp, ways, nodes)
+    rel_addrs = _address_projection(
+        mp.join(rctr, "rel_id").filter("complete"),
+        F.col("c_lat"), F.col("c_lon"),
+    )
+    return node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
+
+
+# ---------------------------------------------------------------------------
 # address extraction (tag-filter semantics of 03:58-88) + way centroids
 # ---------------------------------------------------------------------------
 

@@ -149,6 +149,24 @@ def test_blob_index_distributed_per_file_tasks(spark, rel_file, tmp_path):
     assert dist_idx.rdd.getNumPartitions() == len(paths)
 
 
+def test_import_pbf_one_pass_equals_direct(spark, rel_file, tmp_path):
+    """The lake path (ONE wire decode → etype-partitioned parquet → query)
+    must produce exactly the direct pipeline's addresses."""
+    out = str(tmp_path / "imported")
+    pbf.import_pbf(spark, [rel_file], out)
+    direct = sorted(map(tuple, pbf.pbf_addresses(spark, [rel_file]).collect()))
+    via_import = sorted(
+        map(tuple, pbf.pbf_addresses_from_import(spark, out).collect())
+    )
+    assert direct == via_import and len(direct) > 0
+    # partition pruning: each kind reads only its etype partition
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("etype=")
+    ) == ["etype=node", "etype=relation", "etype=way"]
+
+
 def test_blob_codec_lzma_and_unsupported():
     import lzma
 
