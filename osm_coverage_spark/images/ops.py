@@ -128,33 +128,77 @@ def frame_sample(images_with_bytes: DataFrame, n_frames: int = 3) -> DataFrame:
     )
 
 
-AUDIO_SCHEMA = "clip_id string, n_samples int, rms double, peak double"
+AUDIO_SCHEMA = (
+    "clip_id string, container string, sample_rate int, channels int, "
+    "n_samples int, rms double, peak double"
+)
+
+
+def _parse_wav(raw: bytes):
+    """RIFF/WAVE PCM parse (pure stdlib `wave`): (int16 samples, rate,
+    channels) or None when the bytes are not a WAV container. 8-bit PCM
+    is widened to int16; compressed formats (mp3/flac) stay out of scope
+    (no codec libs in this sandbox)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw)) as w:
+            sw = w.getsampwidth()
+            ch = w.getnchannels()
+            sr = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        pcm = np.frombuffer(frames[: len(frames) // 2 * 2], dtype="<i2")
+    elif sw == 1:  # unsigned 8-bit → centered int16
+        pcm = (np.frombuffer(frames, dtype="u1").astype(np.int16) - 128) * 256
+    else:
+        return None
+    return pcm, sr, ch
 
 
 def audio_features(clips: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Audio stub: treats the binary column as 16-bit little-endian PCM and
-    computes RMS/peak per clip, numpy-vectorized per Arrow batch. Real codec
-    decode (mp3/flac) is environment-gated exactly like codec.decode_real —
-    the Spark plumbing (binary column in, typed metadata out) is real."""
+    """Per-clip RMS/peak, numpy-vectorized per Arrow batch. RIFF/WAVE PCM
+    containers are REALLY parsed (stdlib `wave` — header, sample width,
+    rate, channels); anything else is treated as headerless 16-bit LE PCM
+    (container='raw', rate/channels 0) — the documented fallback for this
+    sandbox's synthetic blobs. Compressed codecs (mp3/flac) remain
+    environment-gated exactly like non-PNG image decode."""
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for cid, data in zip(pdf["clip_id"], pdf[bytes_col]):
                 raw = bytes(data)
-                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                parsed = _parse_wav(raw)
+                if parsed is not None:
+                    pcm, sr, ch = parsed
+                    container = "wav"
+                else:
+                    pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                    sr = ch = 0
+                    container = "raw"
                 if len(pcm) == 0:
-                    rows.append((cid, 0, 0.0, 0.0))
+                    rows.append((cid, container, sr, ch, 0, 0.0, 0.0))
                     continue
                 x = pcm.astype(np.float64) / 32768.0
                 rows.append(
                     (
                         cid,
+                        container,
+                        int(sr),
+                        int(ch),
                         int(len(pcm)),
                         round(float(np.sqrt(np.mean(x**2))), 6),
                         round(float(np.abs(x).max()), 6),
                     )
                 )
-            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms", "peak"])
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "container", "sample_rate", "channels",
+                         "n_samples", "rms", "peak"],
+            )
 
     return clips.mapInPandas(feat, AUDIO_SCHEMA)

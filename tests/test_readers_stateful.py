@@ -94,5 +94,51 @@ def test_audio_features(spark):
     )
     out = {r["clip_id"]: r for r in audio_features(df).collect()}
     assert out["clip1"]["n_samples"] == 8000
+    assert out["clip1"]["container"] == "raw"
     assert 0.3 < out["clip1"]["rms"] < 0.4  # sine RMS ≈ A/√2 = 0.3536
     assert out["clip2"]["n_samples"] == 0
+
+
+def test_audio_features_real_wav_container(spark):
+    """RIFF/WAVE PCM is really parsed: header stripped, rate/channels
+    surfaced, samples identical to the raw-PCM interpretation of the
+    payload (and 8-bit widening works)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from osm_coverage_spark.images.ops import audio_features
+
+    t = np.arange(4000)
+    pcm16 = (np.sin(t * 0.05) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm16.tobytes())
+    wav16 = buf.getvalue()
+
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 255] * 100))
+    wav8 = buf8.getvalue()
+
+    df = spark.createDataFrame(
+        [("w16", bytearray(wav16)), ("w8", bytearray(wav8))],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r for r in audio_features(df).collect()}
+    w16 = out["w16"]
+    assert (w16["container"], w16["sample_rate"], w16["channels"]) == ("wav", 16000, 1)
+    assert w16["n_samples"] == 4000
+    exp = float(np.sqrt(np.mean((pcm16.astype(np.float64) / 32768.0) ** 2)))
+    assert abs(w16["rms"] - exp) < 1e-6
+    w8 = out["w8"]
+    assert (w8["container"], w8["sample_rate"], w8["channels"]) == ("wav", 8000, 2)
+    assert w8["n_samples"] == 200
+    assert w8["peak"] == 1.0  # byte 0 → (0−128)·256 = −32768 → |x| = 1.0
