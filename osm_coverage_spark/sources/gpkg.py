@@ -19,6 +19,9 @@ re-expressed for Spark:
   (Point / Polygon / MultiPolygon), polygons reduced to the signed-area
   centroid (exterior ring positive, holes negative; local-origin translation
   for FP stability — same guard as sources/pbf.way_centroids).
+  Self-intersecting rings are repaired first (split into simple lobes at
+  their crossing points — ``repair_ring``), matching the reference's
+  ``buffer(0)`` invalid-geometry repair (02_extract_alkis.py:241-258).
 - **CRS**: coordinates are emitted native + ``srs_id``; callers reproject
   EPSG:25832 layers to WGS84 with ``geo/crs.utm32_inverse_cols`` — a pure
   column expression, JVM-side, not per-row Python.
