@@ -54,6 +54,34 @@ def ray_cast_batch(px: np.ndarray, py: np.ndarray,
     return (crossings % 2) == 1
 
 
+_RINGS_CACHE: dict[tuple, object] = {}
+
+
+def _rings_broadcast(spark, polygons: DataFrame, poly_name: str):
+    """name → [(vx, vy), ...] broadcast, cached per (SparkContext, plan
+    semantic hash) so repeated pip_join invocations over the same polygon
+    plan reuse one broadcast variable instead of leaking one per call."""
+    sc = spark.sparkContext
+    try:
+        key = (id(sc), polygons.semanticHash())
+    except Exception:  # semanticHash unavailable → no caching
+        key = None
+    if key is not None and key in _RINGS_CACHE:
+        return _RINGS_CACHE[key]
+    rings: dict[str, list] = {}
+    for name, ring in polygons.select(poly_name, "ring").collect():
+        rings.setdefault(name, []).append(
+            (
+                np.array([p["lon"] for p in ring], dtype=np.float64),
+                np.array([p["lat"] for p in ring], dtype=np.float64),
+            )
+        )
+    bc = sc.broadcast(rings)
+    if key is not None:
+        _RINGS_CACHE[key] = bc
+    return bc
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -105,20 +133,21 @@ def pip_join(
             + F.col("_iy"),
         )
         .select(poly_name, "_pcell")
+        .distinct()  # two rings of one name may cover the same cell —
+                     # without this the candidate join would duplicate hits
     )
 
     # rings travel ONCE per executor as a broadcast dict (polygons are the
     # dimension side — same size assumption the broadcast cover already
     # makes), NOT as an array column replicated onto every candidate row:
     # candidate rows stay narrow and no groupBy shuffle is needed.
-    spark = points.sparkSession
-    rings_b = spark.sparkContext.broadcast({
-        r[0]: (
-            np.array([p["lon"] for p in r[1]], dtype=np.float64),
-            np.array([p["lat"] for p in r[1]], dtype=np.float64),
-        )
-        for r in polygons.select(poly_name, "ring").collect()
-    })
+    # Keyed name → LIST of rings: a boundary with exclaves / multiple
+    # assembled outer rings (sources/pbf.relation_boundary_rings) gets
+    # every ring ray-cast and the results OR-ed — one ring row must not
+    # shadow another. Broadcasts are cached per (context, plan) so
+    # repeated invocations (bench loops, long sessions) reuse one
+    # broadcast instead of leaking a new one per call.
+    rings_b = _rings_broadcast(points.sparkSession, polygons, poly_name)
 
     cand = pts.join(F.broadcast(cover), "_pcell")
 
@@ -140,8 +169,10 @@ def pip_join(
             py = pdf["lat"].to_numpy(np.float64)
             mask = np.zeros(len(pdf), dtype=bool)
             for zone, idx in pdf.groupby(poly_name, sort=False).indices.items():
-                vx, vy = rings[zone]
-                mask[idx] = ray_cast_batch(px[idx], py[idx], vx, vy)
+                hit = np.zeros(len(idx), dtype=bool)
+                for vx, vy in rings[zone]:  # OR across the name's rings
+                    hit |= ray_cast_batch(px[idx], py[idx], vx, vy)
+                mask[idx] = hit
             out = pdf.loc[mask, [point_id, poly_name]]
             if len(out):
                 yield out

@@ -1,15 +1,13 @@
 """Image codec for the graft payload.
 
-Formats:
-- ``png``  — REAL spec-conformant PNG (images/png.py: pure-stdlib zlib +
-  per-row filter reconstruction, caption carried in an iTXt chunk). The
-  encode→decode→verify pipeline exercises actual PNG bytes, no fake.
-- ``jpeg`` — deterministic FAKE (libjpeg/PIL absent in this container —
-  BASELINE.json's input_hint allows "STUB the decode step behind a
-  deterministic fake"): pixels quantized to steps of 4 (max |err| = 2 per
-  channel → MSE <= 4 → PSNR >= 10*log10(255^2/4) ≈ 42 dB > the 40 dB
-  gate), caption lossless. Real JPEG decode slots in behind
-  ``decode_real`` once PIL exists.
+Formats — both REAL pure-stdlib codecs, no PIL/libjpeg:
+- ``png``  — spec-conformant PNG (images/png.py: zlib + per-row filter
+  reconstruction, caption carried in an iTXt chunk).
+- ``jpeg`` — baseline sequential JPEG (images/jpeg.py: DCT + uniform
+  quantizer + Annex-K Huffman, RGB 4:4:4 via APP14 transform 0, caption
+  in a COM segment). Uniform quantizer step 2 ⇒ per-coefficient error
+  ≤ 1 ⇒ orthonormal-DCT block MSE ≤ 1 ⇒ PSNR ≥ 48 dB, above the 40 dB
+  BASELINE.json gate.
 
 Pixels themselves are synthesized deterministically from the image id, so
 any executor can regenerate the ground-truth array without shipping it.
@@ -18,12 +16,8 @@ any executor can regenerate the ground-truth array without shipping it.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
-
-MAGIC_PNG = b"FPNG"
-MAGIC_JPG = b"FJPG"
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
@@ -37,16 +31,10 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
 
 
 def encode(arr: np.ndarray, caption: str, fmt: str) -> bytes:
-    h, w = arr.shape[:2]
     if fmt == "jpeg":
-        payload = ((arr.astype(np.int16) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
-        cap = caption.encode("utf-8")
-        return (
-            MAGIC_JPG
-            + struct.pack("<III", w, h, len(cap))
-            + cap
-            + payload.tobytes()
-        )
+        from . import jpeg as _jpeg
+
+        return _jpeg.encode_jpeg(arr, caption=caption)
     if fmt == "png":
         from . import png as _png
 
@@ -59,38 +47,38 @@ def encode(arr: np.ndarray, caption: str, fmt: str) -> bytes:
 
 
 def decode(data: bytes) -> tuple[np.ndarray, str, str]:
-    """→ (pixels, caption, fmt). Real PNG; deterministic fake for JPEG."""
+    """→ (pixels, caption, fmt). Real PNG and real baseline JPEG."""
+    from . import jpeg as _jpeg
     from . import png as _png
 
     if _png.is_png(data):
         arr = _png.decode_png(data)
         cap = _png.read_texts(data).get("caption", "")
         return arr, cap, "png"
-    magic, rest = data[:4], data[4:]
-    if magic != MAGIC_JPG:
-        raise ValueError("neither PNG nor fake-jpeg payload")
-    w, h, clen = struct.unpack("<III", rest[:12])
-    cap = rest[12 : 12 + clen].decode("utf-8")
-    arr = np.frombuffer(rest[12 + clen :], dtype=np.uint8).reshape(h, w, 3)
-    return arr, cap, "jpeg"
+    if _jpeg.is_jpeg(data):
+        arr, cap = _jpeg.decode_jpeg(data)
+        return arr, cap, "jpeg"
+    raise ValueError("neither PNG nor JPEG payload")
 
 
 def decode_real(data: bytes):
-    """Real image decode. PNG is decoded by the pure-stdlib codec
-    (images/png.py — zlib + full filter reconstruction, no PIL); other
-    formats (JPEG et al.) need PIL, absent in this sandbox."""
-    from . import png
+    """Real image decode. PNG and baseline JPEG are decoded by the
+    pure-stdlib codecs in this package; any OTHER format (webp, tiff, …)
+    needs PIL, absent in this sandbox."""
+    from . import jpeg, png
 
     if png.is_png(data):
         return png.decode_png(data)
+    if jpeg.is_jpeg(data):
+        return jpeg.decode_jpeg(data)[0]
     try:  # pragma: no cover - environment-gated
         import io
 
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode for non-PNG formats requires PIL; this sandbox "
-            "uses the deterministic fake codec (decode()) for JPEG"
+            "real decode for formats beyond PNG/baseline-JPEG requires "
+            "PIL, absent in this sandbox"
         ) from exc
     return np.asarray(Image.open(io.BytesIO(data)))  # pragma: no cover
 

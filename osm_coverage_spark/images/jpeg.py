@@ -1,0 +1,522 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Real DCT-based lossy codec — no PIL/libjpeg: FFD8 marker stream, DQT,
+SOF0 (baseline sequential), DHT canonical Huffman (spec Annex K tables),
+interleaved 4:4:4 scan with byte stuffing, COM segment carrying the
+caption, APP14 "Adobe" transform=0 declaring RGB component storage
+(components are coded independently — no YCbCr matrix — which is the
+documented Adobe-RGB variant of baseline JPEG and keeps every channel's
+rate-distortion behavior independent of the others).
+
+Encode path: level shift → per-block FDCT (orthonormal 8×8 matrix pair,
+vectorized numpy matmul over the whole block stack) → uniform quantizer →
+zigzag → DC-predictive / AC run-length Huffman coding (pure-python bit
+writer, the only per-coefficient loop). Decode path mirrors it: marker
+parse → Huffman decode via a 16-bit peek table → dequant → batched IDCT →
+round/clip. The transform stages are factored (`fdct_quant`,
+`dequant_idct`) so any single block round-trips through exactly the same
+float operations as a full image — the oracle class tables in
+sources/image_oracle.py depend on that.
+
+Entropy coding is lossless, so decode(encode(x)) == dequant_idct(
+fdct_quant(x)) exactly; tests/test_jpeg.py asserts this. With the default
+uniform quantizer step 2, per-coefficient error ≤ 1 ⇒ (orthonormal DCT)
+block MSE ≤ 1 ⇒ PSNR ≥ 48.1 dB — comfortably above BASELINE.json's
+40 dB gate.
+
+Reference parity: the reference pipeline delegates image handling to
+external codec libraries; this module replaces that dependency with an
+in-repo implementation (SURVEY.md §2.8 image decode row).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K — public standard tables)
+# ---------------------------------------------------------------------------
+
+# K.3.1: typical Huffman table for luminance DC coefficient differences.
+DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_VALS = tuple(range(12))
+
+# K.3.2: typical Huffman table for luminance AC coefficients.
+AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+DEFAULT_QUANT = 2  # uniform quantizer step — PSNR >= 48 dB on any input
+
+
+def _zigzag_order() -> list[int]:
+    """Flat (row*8+col) indices in JPEG zigzag scan order (spec fig. 5)."""
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(7, s) + 1)]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left → top-right
+        out.extend(r * 8 + c for r, c in diag)
+    return out
+
+
+ZZ = np.array(_zigzag_order(), dtype=np.int64)        # zigzag k -> natural
+ZZ_INV = np.argsort(ZZ)                               # natural -> zigzag k
+
+# Orthonormal DCT-II matrix: A @ A.T == I; JPEG FDCT == A @ block @ A.T.
+_A = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Transform stages (shared verbatim by the oracle class-table builder)
+# ---------------------------------------------------------------------------
+
+def fdct_quant(blocks: np.ndarray, qstep: int = DEFAULT_QUANT) -> np.ndarray:
+    """(n, 8, 8) uint8 sample blocks → (n, 8, 8) int32 quantized coefs."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = _A @ shifted @ _A.T
+    return np.round(coef / float(qstep)).astype(np.int32)
+
+
+def dequant_idct(qc: np.ndarray, qstep: int = DEFAULT_QUANT) -> np.ndarray:
+    """(n, 8, 8) int32 quantized coefs → (n, 8, 8) uint8 reconstruction."""
+    coef = qc.astype(np.float64) * float(qstep)
+    pix = _A.T @ coef @ _A + 128.0
+    return np.clip(np.round(pix), 0.0, 255.0).astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) → (ny*nx, 8, 8) in raster (by, bx) order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).swapaxes(1, 2).reshape(h, w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman construction (spec C.2) + fast peek-16 decode tables
+# ---------------------------------------------------------------------------
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from BITS/HUFFVAL per spec Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DECODE_CACHE: dict[tuple, list] = {}
+
+
+def _decode_table(bits, vals) -> list:
+    """65536-entry peek table: top-16-bits → (symbol, code length)."""
+    key = (tuple(bits), tuple(vals))
+    tab = _DECODE_CACHE.get(key)
+    if tab is None:
+        tab = [None] * 65536
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            base = code << (16 - length)
+            entry = (sym, length)
+            for off in range(1 << (16 - length)):
+                tab[base + off] = entry
+        _DECODE_CACHE[key] = tab
+    return tab
+
+
+# magnitude-category lookup (spec F.1.2.1): size(v) = bit_length(|v|)
+_SIZE_LUT = np.zeros(4097, dtype=np.int64)
+for _i in range(1, 4097):
+    _SIZE_LUT[_i] = int(_i).bit_length()
+
+
+def _code_luts(bits, vals, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """symbol-indexed (code, length) arrays for vectorized emission."""
+    codes = np.zeros(n, dtype=np.uint32)
+    lens = np.zeros(n, dtype=np.int64)
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        codes[sym] = code
+        lens[sym] = length
+    return codes, lens
+
+
+def _pack_bits(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first varying-width bitfield packing, vectorized: expand every
+    field to ≤16 bit rows, boolean-select the valid bits, packbits, then
+    byte-stuff. Final partial byte is padded with 1-bits (spec F.1.2.3)."""
+    keep = lengths > 0
+    values = values[keep].astype(np.int64)
+    lengths = lengths[keep].astype(np.int64)
+    starts = np.cumsum(lengths) - lengths  # bit offset of each field
+    total = int(starts[-1] + lengths[-1]) if len(lengths) else 0
+    pad = (-total) % 8
+    flat = np.empty(total + pad, dtype=np.uint8)
+    flat[total:] = 1  # pad with 1-bits (spec F.1.2.3)
+    # column-wise scatter (≤16 passes of shrinking 1-D ops — avoids an
+    # (N, 16) temporary, which cold-faults hundreds of MB on big images)
+    for i in range(int(lengths.max()) if len(lengths) else 0):
+        m = lengths > i
+        flat[starts[m] + i] = (values[m] >> (lengths[m] - 1 - i)) & 1
+    return np.packbits(flat).tobytes().replace(b"\xff", b"\xff\x00")
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    arr: np.ndarray, caption: str = "", qstep: int = DEFAULT_QUANT
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JPEG bytes (4:4:4, RGB via APP14).
+
+    Dimensions not divisible by 8 are edge-replicated to the block grid
+    (decoder crops back using the true SOF0 dimensions)."""
+    h, w = arr.shape[:2]
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    fh, fw = arr.shape[:2]
+
+    # Vectorized transform per component, zigzag, then interleave the
+    # component planes into MCU order: row m*3+c is MCU m's component c.
+    planes = [
+        fdct_quant(_to_blocks(arr[..., c]), qstep).reshape(-1, 64)[:, ZZ]
+        for c in range(3)
+    ]
+    zz_all = np.stack(planes, axis=1).reshape(-1, 64).astype(np.int64)
+    stream = _entropy_encode(zz_all, ncomp=3)
+
+    qtab_zz = np.full(64, qstep, dtype=np.uint8)[ZZ_INV]  # stored in zigzag
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP14 Adobe, transform 0 => components are R,G,B (no color matrix)
+    out += _marker(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
+    if caption:
+        out += _marker(0xFFFE, caption.encode("utf-8"))  # COM
+    out += _marker(0xFFDB, b"\x00" + qtab_zz.tobytes())  # DQT id 0
+    # SOF0 carries the TRUE dimensions (spec A.2.1); the sample grid is
+    # ceil(dim/8) blocks and the decoder crops the replicated edge back off.
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtab 0
+    out += _marker(0xFFC0, sof)  # SOF0 baseline
+    out += _marker(
+        0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+    )  # DHT DC 0
+    out += _marker(
+        0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+    )  # DHT AC 0
+    sos = b"\x03" + b"".join(
+        struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3)
+    ) + b"\x00\x3f\x00"
+    out += _marker(0xFFDA, sos)
+    out += stream
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _entropy_encode(zz_all: np.ndarray, ncomp: int) -> bytes:
+    """Fully vectorized baseline Huffman entropy coder.
+
+    Every emission (DC/AC Huffman code + appended magnitude bits, ZRL,
+    EOB) becomes one row of (sort-key, code, code-len, value-bits,
+    value-len); a single stable argsort puts them in scan order and
+    `_pack_bits` assembles the stuffed bitstream — no per-coefficient
+    python loop."""
+    n_units = zz_all.shape[0]
+    dccode, dclen = _code_luts(DC_BITS, DC_VALS, 12)
+    accode, aclen = _code_luts(AC_BITS, AC_VALS, 256)
+
+    # --- DC: per-component predictive differences (interleave-aware)
+    dc = zz_all[:, 0]
+    diffs = np.empty(n_units, dtype=np.int64)
+    for c in range(ncomp):
+        s = dc[c::ncomp]
+        d = np.empty_like(s)
+        if len(s):
+            d[0] = s[0]
+            d[1:] = s[1:] - s[:-1]
+        diffs[c::ncomp] = d
+    dsize = _SIZE_LUT[np.abs(diffs)]
+    dval = np.where(diffs > 0, diffs, diffs + (1 << dsize) - 1) * (dsize > 0)
+    # per-block slot grid: DC at slot 0, AC coef k at 4k (ZRLs just
+    # before it), EOB at the end of the block's slot range.
+    slot_span = 260
+    dc_rows = (
+        np.arange(n_units, dtype=np.int64) * slot_span,
+        dccode[dsize].astype(np.int64),
+        dclen[dsize],
+        dval,
+        dsize,
+    )
+
+    # --- AC: flattened nonzero list with per-block run lengths
+    b_idx, k0 = np.nonzero(zz_all[:, 1:])
+    k = k0.astype(np.int64) + 1
+    v = zz_all[b_idx, k]
+    prevk = np.empty_like(k)
+    if len(k):
+        prevk[0] = 0
+        prevk[1:] = np.where(b_idx[1:] == b_idx[:-1], k[:-1], 0)
+    run = k - prevk - 1
+    nzrl = run // 16
+    rrem = run % 16
+    size = _SIZE_LUT[np.abs(v)]
+    sym = (rrem << 4) | size
+    vval = np.where(v > 0, v, v + (1 << size) - 1)
+    ac_rows = (
+        b_idx * slot_span + 4 * k,
+        accode[sym].astype(np.int64),
+        aclen[sym],
+        vval,
+        size,
+    )
+
+    # --- ZRL expansions (≤3 per coefficient): slots right before their k
+    tot = int(nzrl.sum())
+    if tot:
+        rep_b = np.repeat(b_idx, nzrl)
+        rep_k = np.repeat(k, nzrl)
+        rep_n = np.repeat(nzrl, nzrl)
+        jj = np.arange(tot) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+        zrl_keys = rep_b * slot_span + 4 * rep_k - (rep_n - jj)
+    else:
+        zrl_keys = np.empty(0, dtype=np.int64)
+    zrl_rows = (
+        zrl_keys,
+        np.full(tot, int(accode[0xF0]), dtype=np.int64),
+        np.full(tot, int(aclen[0xF0]), dtype=np.int64),
+        np.zeros(tot, dtype=np.int64),
+        np.zeros(tot, dtype=np.int64),
+    )
+
+    # --- EOB for every block whose trailing coefficients are zero
+    last = np.zeros(n_units, dtype=np.int64)
+    if len(k):
+        np.maximum.at(last, b_idx, k)
+    eob_b = np.nonzero(last < 63)[0]
+    eob_rows = (
+        eob_b * slot_span + slot_span - 1,
+        np.full(len(eob_b), int(accode[0x00]), dtype=np.int64),
+        np.full(len(eob_b), int(aclen[0x00]), dtype=np.int64),
+        np.zeros(len(eob_b), dtype=np.int64),
+        np.zeros(len(eob_b), dtype=np.int64),
+    )
+
+    keys = np.concatenate([dc_rows[0], ac_rows[0], zrl_rows[0], eob_rows[0]])
+    order = np.argsort(keys, kind="stable")
+    cols = [
+        np.concatenate([dc_rows[i], ac_rows[i], zrl_rows[i], eob_rows[i]])[order]
+        for i in range(1, 5)
+    ]
+    m = len(keys)
+    values = np.empty(2 * m, dtype=np.int64)
+    lengths = np.empty(2 * m, dtype=np.int64)
+    values[0::2], lengths[0::2] = cols[0], cols[1]  # Huffman code
+    values[1::2], lengths[1::2] = cols[2], cols[3]  # appended magnitude bits
+    return _pack_bits(values, lengths)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
+    """Baseline JPEG bytes → ((h, w, 3) uint8 RGB, caption from COM)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, list] = {}
+    ac_tabs: dict[int, list] = {}
+    caption = ""
+    fh = fw = 0
+    comps: list[tuple[int, int, int]] = []  # (id, qtab, sampling)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
+    scan_start = -1
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        tag = data[pos + 1]
+        if tag == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if tag == 0xDB:  # DQT (possibly several tables per marker)
+            off = 0
+            while off < len(body):
+                prec, tid = body[off] >> 4, body[off] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[off + 1 : off + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZZ] = zz  # stored zigzag → natural order
+                qtabs[tid] = nat
+                off += 65
+        elif tag == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = tuple(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = tuple(body[off + 17 : off + 17 + n])
+                tab = _decode_table(bits, vals)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                off += 17 + n
+        elif tag == 0xC0:  # SOF0
+            _, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            comps = [
+                (body[6 + 3 * i], body[8 + 3 * i], body[7 + 3 * i])
+                for i in range(nc)
+            ]
+            for _, _, samp in comps:
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 (1x1 sampling) supported")
+        elif tag in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif tag == 0xFE:  # COM
+            caption = body.decode("utf-8", errors="replace")
+        elif tag == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            scan_start = pos
+            break
+    if scan_start < 0 or not comps:
+        raise ValueError("no scan found")
+    eoi = data.rfind(b"\xff\xd9")
+    if eoi < 0:
+        eoi = len(data)
+    entropy = data[scan_start:eoi].replace(b"\xff\x00", b"\xff")
+
+    gh, gw = -(-fh // 8) * 8, -(-fw // 8) * 8  # padded block grid
+    ny, nx = gh // 8, gw // 8
+    n_blocks = ny * nx
+    ncomp = len(scan_comps)
+    tabs = [(dc_tabs[d], ac_tabs[a]) for _, d, a in scan_comps]
+
+    # hot loop: inlined bit reader (locals only — no method dispatch);
+    # rows are collected as flat python lists and bulk-converted after.
+    rows: list[list] = [[] for _ in range(ncomp)]
+    data = entropy
+    dlen = len(data)
+    acc = 0
+    nbits = 0
+    pos = 0
+    preds = [0] * ncomp
+    for _m in range(n_blocks):
+        for c in range(ncomp):
+            dct, act = tabs[c]
+            blk = [0] * 64
+            if nbits < 16:
+                while nbits < 16:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0xFF)
+                    pos += 1
+                    nbits += 8
+            sym, length = dct[(acc >> (nbits - 16)) & 0xFFFF]
+            nbits -= length
+            if sym:
+                while nbits < sym:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0xFF)
+                    pos += 1
+                    nbits += 8
+                nbits -= sym
+                v = (acc >> nbits) & ((1 << sym) - 1)
+                if v < (1 << (sym - 1)):
+                    v -= (1 << sym) - 1
+                preds[c] += v
+            blk[0] = preds[c]
+            k = 1
+            while k < 64:
+                if nbits < 16:
+                    while nbits < 16:
+                        acc = (acc << 8) | (data[pos] if pos < dlen else 0xFF)
+                        pos += 1
+                        nbits += 8
+                sym, length = act[(acc >> (nbits - 16)) & 0xFFFF]
+                nbits -= length
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                while nbits < size:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0xFF)
+                    pos += 1
+                    nbits += 8
+                nbits -= size
+                v = (acc >> nbits) & ((1 << size) - 1)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                if k < 64:
+                    blk[k] = v
+                k += 1
+            acc &= (1 << nbits) - 1  # keep the accumulator a small int
+            rows[c].append(blk)
+    zz_out = [np.array(r, dtype=np.int32).reshape(-1, 64) for r in rows]
+
+    planes = []
+    for c in range(ncomp):
+        nat = np.zeros((n_blocks, 64), dtype=np.int32)
+        nat[:, ZZ] = zz_out[c]
+        qtab = qtabs[comps[c][1]]
+        coef = (nat * qtab).reshape(-1, 8, 8).astype(np.float64)
+        pix = _A.T @ coef @ _A + 128.0
+        blocks = np.clip(np.round(pix), 0.0, 255.0).astype(np.uint8)
+        planes.append(_from_blocks(blocks, gh, gw))
+    return np.stack(planes, axis=-1)[:fh, :fw], caption

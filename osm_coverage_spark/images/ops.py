@@ -32,7 +32,14 @@ FEATURE_SCHEMA = "image_id string, feature array<float>, phash bigint"
 
 def with_encoded_bytes(images: DataFrame) -> DataFrame:
     """Materialize the `bytes` column of the input_hint schema: encode the
-    deterministic pixels + caption per row (mapInPandas, Arrow batches)."""
+    deterministic pixels + caption per row (mapInPandas, Arrow batches).
+
+    The metadata rows are repartitioned to the session's parallelism
+    first: codec work is CPU-bound python, and the sandbox's derived
+    input collapses to 1-2 scan tasks (single-row-group parquet) — a real
+    lake's many splits make this a no-op-sized shuffle of narrow rows."""
+    sc = images.sparkSession.sparkContext
+    images = images.repartition(sc.defaultParallelism * 2)
 
     def encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,9 +115,9 @@ def extract_features(images_with_bytes: DataFrame, grid: int = 4) -> DataFrame:
 
 def frame_sample(images_with_bytes: DataFrame, n_frames: int = 3) -> DataFrame:
     """Video-style frame sampling stub: treats the image as a 1-frame clip
-    and emits row-strips as 'frames' — real frame decode is gated on a
-    video lib (NotImplementedError via codec.decode_real path). The Spark
-    plumbing (explode to frame rows with typed metadata) is real."""
+    and emits row-strips as 'frames' — superseded by the real MPNG
+    container pipeline (make_video_container / sample_container_frames)
+    but kept for the simple float API."""
 
     def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,6 +133,209 @@ def frame_sample(images_with_bytes: DataFrame, n_frames: int = 3) -> DataFrame:
     return images_with_bytes.mapInPandas(
         sample_batch, "image_id string, frame int, mean_px double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact verification / feature ops (oracle-paired: every emitted
+# column is BIGINT/BOOLEAN/STRING computed with pure integer arithmetic from
+# the decoded pixels, so the DuckDB block-class oracle
+# (sources/image_oracle.py) matches hash-for-hash — no FP in the compared
+# surface).
+# ---------------------------------------------------------------------------
+
+PSNR_SSE_SCALE = 10_000  # PSNR >= 40 dB  <=>  10000*sse <= 65025*3*w*h
+
+INT_VERIFY_SCHEMA = (
+    "image_id string, fmt string, pixels_ok boolean, caption_ok boolean, "
+    "sse bigint, mean_px_e4 bigint, psnr_db double"
+)
+
+
+def decode_verify_int(images_with_bytes: DataFrame) -> DataFrame:
+    """Decode every blob, verify against regenerated ground truth, and emit
+    integer-exact stats: sse = Σ(dec−truth)², mean_px_e4 = ⌊10⁴·Σdec /
+    (3wh)⌋. pixels_ok is exact equality for PNG and the integer form of the
+    PSNR≥40 gate for JPEG; psnr_db rides along for pytest (not compared by
+    the driver)."""
+
+    def verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, w, h, fmt, cap in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                pdf["caption"],
+            ):
+                arr, dec_cap, dec_fmt = codec.decode(bytes(data))
+                truth = codec.synth_pixels(iid, int(w), int(h))
+                d = arr.astype(np.int64)
+                sse = int(((d - truth.astype(np.int64)) ** 2).sum())
+                total = int(d.sum())
+                npx = 3 * int(w) * int(h)
+                ok = (
+                    sse == 0
+                    if dec_fmt == "png"
+                    else PSNR_SSE_SCALE * sse <= 65025 * npx
+                )
+                rows.append(
+                    (
+                        iid,
+                        dec_fmt,
+                        bool(ok),
+                        dec_cap == cap,
+                        sse,
+                        (PSNR_SSE_SCALE * total) // npx,
+                        round(min(codec.psnr_db(truth, arr), 99.0), 2),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "pixels_ok", "caption_ok", "sse",
+                         "mean_px_e4", "psnr_db"],
+            )
+
+    return images_with_bytes.mapInPandas(verify_batch, INT_VERIFY_SCHEMA)
+
+
+def _ahash63(arr: np.ndarray) -> tuple[int, int]:
+    """63-bit average-hash over an 8×8 super-block grid of the decoded
+    image (dims must be block-aligned): bit(q,p) = 1 iff the super-block's
+    per-pixel gray3 mean exceeds the global mean (integer cross-multiplied
+    — no FP). Returns (ahash, gray3_total)."""
+    h, w = arr.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("ahash63 requires block-aligned dims")
+    ny, nx = h // 8, w // 8
+    g3 = arr.astype(np.int64).sum(axis=2)
+    bs = g3.reshape(ny, 8, nx, 8).sum(axis=(1, 3))  # per-block gray3 sums
+    p = (np.arange(nx) * 8) // nx
+    q = (np.arange(ny) * 8) // ny
+    ssum = np.zeros((8, 8), dtype=np.int64)
+    bcount = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(ssum, (q[:, None], p[None, :]), bs)
+    np.add.at(bcount, (q[:, None], p[None, :]), 1)
+    total = int(bs.sum())
+    bits = (ssum * nx * ny) > (total * bcount)
+    value = 0
+    for idx in range(63):  # idx = q*8 + p, top bit dropped to stay BIGINT+
+        if bits[idx // 8, idx % 8]:
+            value |= 1 << idx
+    return value, total
+
+
+FEATURE_INT_SCHEMA = "image_id string, ahash bigint, gray3_total bigint"
+
+
+def extract_features_int(images_with_bytes: DataFrame) -> DataFrame:
+    """Decode → integer aHash + total gray3 mass per image."""
+
+    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                arr, _, _ = codec.decode(bytes(data))
+                ah, total = _ahash63(arr)
+                rows.append((iid, ah, total))
+            yield pd.DataFrame(rows, columns=["image_id", "ahash", "gray3_total"])
+
+    return images_with_bytes.mapInPandas(feat_batch, FEATURE_INT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MPNG frame container — a real multi-frame byte format: 'MPNG' magic,
+# frame count, length-prefixed REAL PNG frames (block-aligned horizontal
+# strips of the decoded image). Frame extraction parses the container
+# structure and PNG-decodes every frame.
+# ---------------------------------------------------------------------------
+
+MAGIC_MPNG = b"MPNG"
+
+
+def build_container(frames: list[np.ndarray]) -> bytes:
+    from . import png as _png
+
+    import struct
+
+    blobs = [_png.encode_png(f, filter_mode="none") for f in frames]
+    out = bytearray(MAGIC_MPNG)
+    out += struct.pack("<I", len(blobs))
+    for b in blobs:
+        out += struct.pack("<I", len(b))
+        out += b
+    return bytes(out)
+
+
+def parse_container(data: bytes) -> list[bytes]:
+    import struct
+
+    if data[:4] != MAGIC_MPNG:
+        raise ValueError("not an MPNG container")
+    (n,) = struct.unpack_from("<I", data, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        (length,) = struct.unpack_from("<I", data, off)
+        off += 4
+        frames.append(data[off : off + length])
+        off += length
+    return frames
+
+
+def make_video_container(
+    images_with_bytes: DataFrame, n_frames: int = 3
+) -> DataFrame:
+    """Decode each image and pack ``n_frames`` block-aligned row strips as
+    real PNG frames into an MPNG container column (the 'video' blob)."""
+
+    def pack_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for data in pdf["bytes"]:
+                arr, _, _ = codec.decode(bytes(data))
+                ny = arr.shape[0] // 8
+                strips = [
+                    arr[(k * ny // n_frames) * 8 : ((k + 1) * ny // n_frames) * 8]
+                    for k in range(n_frames)
+                ]
+                blobs.append(build_container(strips))
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"], "video": blobs}
+            )
+
+    return images_with_bytes.mapInPandas(
+        pack_batch, "image_id string, video binary"
+    )
+
+
+FRAME_INT_SCHEMA = (
+    "image_id string, frame int, frame_h int, gray3_sum bigint, "
+    "mean_px_e4 bigint"
+)
+
+
+def sample_container_frames(videos: DataFrame) -> DataFrame:
+    """Parse MPNG containers, PNG-decode every frame, and emit integer
+    per-frame stats (height, gray3 mass, scaled mean)."""
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import png as _png
+
+        for pdf in batches:
+            rows = []
+            for iid, blob in zip(pdf["image_id"], pdf["video"]):
+                for k, fb in enumerate(parse_container(bytes(blob))):
+                    arr = _png.decode_png(fb)
+                    fh, fw = arr.shape[:2]
+                    g3 = int(arr.astype(np.int64).sum())
+                    rows.append(
+                        (iid, k, fh, g3, (10_000 * g3) // (3 * fw * fh))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "frame", "frame_h", "gray3_sum",
+                         "mean_px_e4"],
+            )
+
+    return videos.mapInPandas(sample_batch, FRAME_INT_SCHEMA)
 
 
 AUDIO_SCHEMA = (

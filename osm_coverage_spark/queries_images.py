@@ -4,9 +4,12 @@
 derived rectangle polygons it is provably equal to the strict-bbox DuckDB
 oracle (edges offset off the coordinate lattice), so the Arrow-UDF path is
 oracle-verified. The codec queries (`image_decode_verify`,
-`image_features`, `image_frame_sample`) are genuinely non-SQL-expressible
-(binary round-trip through numpy) → no oracle entry, rows-only driver check;
-their invariants are asserted in tests/test_images.py.
+`image_features`, `image_frame_sample`) run the REAL PNG/JPEG codecs
+distributed and emit integer-exact stats matched hash-for-hash by the
+block-class DuckDB oracles in sources/image_oracle.py (every 8×8 block of
+the lattice pixels is one of 256 canonical blocks per channel — see that
+module's docstring). Float invariants (PSNR dB values) stay in
+tests/test_images.py.
 """
 
 from __future__ import annotations
@@ -70,35 +73,43 @@ def q_raster_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """encode → decode → verify loop (rows-only check; pytest asserts the
-    PSNR/caption invariants)."""
+    """encode → decode → verify loop over the REAL codecs, emitting the
+    integer-exact surface the block-class oracle reproduces."""
     img = _images(spark, sf_dir)
-    return ops.decode_verify(ops.with_encoded_bytes(img))
-
-
-def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = _images(spark, sf_dir)
-    feats = ops.extract_features(ops.with_encoded_bytes(img))
-    return feats.select(
-        "image_id",
-        F.col("phash").alias("dct_phash"),
-        F.round(F.aggregate(F.col("feature"), F.lit(0.0),
-                            lambda a, x: a + x.cast("double")), 2).alias("feat_sum"),
+    return ops.decode_verify_int(ops.with_encoded_bytes(img)).select(
+        "image_id", "fmt", "pixels_ok", "caption_ok", "sse", "mean_px_e4"
     )
 
 
-def q_image_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer aHash (8×8 super-block average hash) + gray3 mass per image,
+    computed from the DECODED bytes (so a codec regression breaks it)."""
     img = _images(spark, sf_dir)
-    return ops.frame_sample(ops.with_encoded_bytes(img))
+    return ops.extract_features_int(ops.with_encoded_bytes(img))
+
+
+def q_image_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image → MPNG container of real PNG strip-frames → parse + decode
+    each frame → integer per-frame stats."""
+    img = _images(spark, sf_dir)
+    return ops.sample_container_frames(
+        ops.make_video_container(ops.with_encoded_bytes(img))
+    )
 
 
 # --------------------------------------------------------------------------
-# Oracles (PIP family only; codec queries are rows-only by design)
+# Oracles — PIP family here; codec-query oracles come from the block-class
+# builder in sources/image_oracle.py
 # --------------------------------------------------------------------------
 
 from .geo import cells as _cells  # noqa: E402
+from .sources import image_oracle as _io  # noqa: E402
 
 ORACLE: dict[str, str] = {}
+
+ORACLE["image_decode_verify"] = _io.decode_verify_sql()
+ORACLE["image_features"] = _io.features_sql()
+ORACLE["image_frame_sample"] = _io.frame_sample_sql()
 
 ORACLE["pip_zones"] = f"""{derived.oracle_prelude_polys()}
 SELECT i.image_id, coalesce(p.zone, 'none') AS zone

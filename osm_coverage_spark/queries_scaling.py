@@ -118,6 +118,31 @@ SCALING_KERNELS = {
 }
 
 
+def scale_jvm_burn(spark: SparkSession, sf_dir: str,
+                   mult: int = 10000) -> DataFrame:
+    """HOST-CAPACITY probe, JVM-matched (not an engine kernel): a chained
+    xxhash64 mix over ``spark.range`` — pure whole-stage-codegen compute in
+    the executor JVMs, zero input, zero shuffle, trivial allocation. Its
+    N→4N speedup measures how much multithreaded JVM capacity the sandbox
+    actually delivers between the two levels, inside the engine's own
+    execution model (same JVMs, same GC, same scheduler) — the denominator
+    for capacity-normalized efficiency. The round-3 pure-python-process
+    probe underestimated this ceiling (interpreter processes are
+    allocator-bound), letting normalized values exceed 1; this probe is
+    the workload-matched replacement the round-3 verdict asked for."""
+    n = 100_000 * mult
+    r = spark.range(0, n, 1, 512)
+    h = F.col("id")
+    for k in range(24):
+        h = F.xxhash64(h + F.lit(k))
+    return r.select((h % 7).alias("v"))
+
+
+HOST_BURN = {
+    "jvm_burn": scale_jvm_burn,
+}
+
+
 # ---------------------------------------------------------------------------
 # Amplified END-TO-END flagship job — the north_rule scaling evidence
 # ---------------------------------------------------------------------------

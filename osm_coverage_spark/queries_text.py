@@ -111,17 +111,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ]
     )
+    return _minhash_pairs_from_sig(sig)
+
+
+def _minhash_pairs_from_sig(sig: DataFrame, pin: F.Column | None = None) -> DataFrame:
+    """Band-unpivot + hot-bucket-guarded self-join over a signature frame.
+
+    ``pin``: optional value-neutral column expression concatenated into the
+    band values. q_dedup_jaccard passes a zero-length projection of its
+    shingle-set column so Catalyst cannot column-prune the shared
+    groupBy(doc_id) aggregate into a second physical variant — keeping the
+    candidate side and both set sides on ONE identical exchange
+    (ReusedExchange ⇒ one shingle scan for the whole query)."""
+    extra = [] if pin is None else [pin]
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(1).alias("band_no"),
-                    F.concat("mh0", "mh1").alias("band_val"),
+                    F.concat("mh0", "mh1", *extra).alias("band_val"),
                 ),
                 F.struct(
                     F.lit(2).alias("band_no"),
-                    F.concat("mh2", "mh3").alias("band_val"),
+                    F.concat("mh2", "mh3", *extra).alias("band_val"),
                 ),
             )
         ).alias("_b"),
@@ -139,15 +152,28 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH recall → exact residual precision). Set sizes only:
     J = |A∩B| / (|A| + |B| − |A∩B|), so no array_union materialization;
     at 10^12 docs the shingle sets join ONLY onto the candidate pairs
-    (LSH-bounded), never all-pairs."""
+    (LSH-bounded), never all-pairs.
+
+    ONE shingle pass (r3 verdict #4: the old form tokenized twice): the
+    4 MinHash minima AND the exact shingle set come out of a single
+    groupBy(doc_id), so the candidate side, the a-side and the b-side all
+    hang off one identical exchange that Catalyst reuses
+    (tests/test_perf_plans.py::test_dedup_jaccard_single_shingle_scan)."""
     docs = _docs(spark, sf_dir)
     rows = T.shingle_rows(docs, "doc_id")
-    sets_ = rows.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("sh")
+    per_doc = rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh{k}")
+            for k in range(4)
+        ],
+        F.array_sort(F.collect_set("shingle")).alias("sh"),
     )
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    a = sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # zero-length pin: makes the candidate side DEPEND on sh without
+    # changing any band value, so all three consumers share one exchange
+    pin = F.substring(F.size("sh").cast("string"), 1, 0)
+    pairs = _minhash_pairs_from_sig(per_doc, pin=pin)
+    a = per_doc.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = per_doc.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

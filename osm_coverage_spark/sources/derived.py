@@ -184,6 +184,8 @@ CARRY_RAW_CTE = """carry_raw AS (
 # Hotspot skew: doc_id % 5 = 0 (20% of rows) collapses into a ~100 m blob —
 # exercises salted repartitioning. Near-dup twins: doc_id % 7 = 0 rows get a
 # '_b' twin with phash bits 0 and 33 flipped (hamming distance 2).
+# w/h are 8-aligned (JPEG block grid) so the codec oracles
+# (sources/image_oracle.py) stay closed-form over whole blocks.
 
 
 def _hex15_to_bigint(hexpr: str, dialect: str) -> str:
@@ -202,8 +204,8 @@ def images_cte(dialect: str) -> str:
   SELECT
     doc_id,
     substr(md5('ph' || CAST(doc_id AS STRING)), 1, 15) AS ph_hex,
-    CAST(length(text) % 512 + 32 AS INT) AS w,
-    CAST(n_chars % 512 + 32 AS INT) AS h,
+    CAST(length(text) % 512 + 32 - (length(text) % 512 + 32) % 8 AS INT) AS w,
+    CAST(n_chars % 512 + 32 - (n_chars % 512 + 32) % 8 AS INT) AS h,
     CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
     text AS caption,
     CASE WHEN doc_id % 5 = 0 THEN 6.5432e0 + (doc_id % 16) / 20000.0e0

@@ -835,7 +835,22 @@ def pbf_addresses(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
         rels.join(rctr, "rel_id").filter("complete"),
         F.col("c_lat"), F.col("c_lon"),
     )
-    return node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
+    out = node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
+    # Reference parity (03_extract_osm.py flush_buffer): the same address
+    # tagged on both a node and its building way/relation at the same spot
+    # is emitted once — dedup on (street, housenumber, lat, lon), with a
+    # deterministic survivor (ordered by housename/city, not partition
+    # luck) so distributed runs stay bit-stable.
+    from pyspark.sql import Window as _W
+
+    wdd = _W.partitionBy("street", "housenumber", "lat", "lon").orderBy(
+        F.col("housename").asc_nulls_first(), F.col("city").asc_nulls_first()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

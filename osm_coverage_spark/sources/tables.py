@@ -57,6 +57,94 @@ def read_table(spark: SparkSession, identifier_or_path: str) -> DataFrame:
     return spark.read.parquet(identifier_or_path)
 
 
+# ---------------------------------------------------------------------------
+# Snapshot history / time travel (Iceberg `VERSION AS OF` analog)
+# ---------------------------------------------------------------------------
+# Every merge_upsert commit RETAINS the pre-commit table directory as a
+# numbered snapshot (Iceberg retains old data files + metadata; the
+# stand-in retains the old directory) and appends to a JSON snapshot log.
+# `read_table_at` replays any retained version; `expire_snapshots` is the
+# `expireSnapshots` maintenance analog.
+
+def _snap_dir(target: str) -> str:
+    return f"{target}__snapshots"
+
+
+def _snap_log(target: str) -> str:
+    return f"{target}__snaplog.json"
+
+
+def _read_snaplog(target: str) -> list[dict]:
+    import json
+    import os
+
+    if not os.path.exists(_snap_log(target)):
+        return []
+    with open(_snap_log(target)) as f:
+        return json.load(f)
+
+
+def _append_snapshot(target: str, bak_dir: str) -> int:
+    """Move the pre-commit directory into the snapshot store and log it.
+    Caller holds the commit lock. Returns the new snapshot id."""
+    import json
+    import os
+
+    log = _read_snaplog(target)
+    sid = (log[-1]["id"] + 1) if log else 1
+    os.makedirs(_snap_dir(target), exist_ok=True)
+    dest = os.path.join(_snap_dir(target), f"v{sid}")
+    os.rename(bak_dir, dest)
+    log.append({"id": sid, "dir": dest})
+    tmp = _snap_log(target) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, _snap_log(target))
+    return sid
+
+
+def snapshots(target: str) -> list[int]:
+    """Retained snapshot ids, oldest first (the live table is one newer
+    than the last retained id)."""
+    return [e["id"] for e in _read_snaplog(target)]
+
+
+def read_table_at(spark: SparkSession, target: str,
+                  version: int | None = None) -> DataFrame:
+    """Time-travel read — `SELECT … VERSION AS OF version` analog.
+    version=None (or one past the last retained id) reads the live table;
+    otherwise the retained pre-commit state with that id is replayed."""
+    log = _read_snaplog(target)
+    if version is None or not log or version > log[-1]["id"]:
+        return read_table(spark, target)
+    for e in log:
+        if e["id"] == version:
+            return spark.read.parquet(e["dir"])
+    raise ValueError(
+        f"snapshot {version} of {target} not retained "
+        f"(have {[e['id'] for e in log]})"
+    )
+
+
+def expire_snapshots(target: str, keep_last: int = 3) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (Iceberg
+    `expireSnapshots` analog). Returns the expired ids."""
+    import json
+    import shutil
+
+    log = _read_snaplog(target)
+    expired, kept = log[:-keep_last] if keep_last else log, log[-keep_last:] if keep_last else []
+    for e in expired:
+        shutil.rmtree(e["dir"], ignore_errors=True)
+    tmp = _snap_log(target) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kept, f)
+    import os
+
+    os.replace(tmp, _snap_log(target))
+    return [e["id"] for e in expired]
+
+
 def _table_version(target: str) -> tuple[int, int]:
     """Commit token of the parquet stand-in: the target directory's inode +
     mtime. Every committed swap replaces the directory (rename), so a
@@ -138,7 +226,10 @@ def merge_upsert(
             except Exception:
                 os.rename(bak, target)  # roll back; tmp left for inspection
                 raise
-            shutil.rmtree(bak)
+            # retain the pre-commit state as a numbered snapshot
+            # (time-travel reads via read_table_at; expire_snapshots
+            # bounds retention) — Iceberg keeps old data files the same way
+            _append_snapshot(target, bak)
             return
         finally:
             os.close(fd)

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from osm_coverage_spark.queries_scaling import (  # noqa: E402
     BOX_PROBES,
+    HOST_BURN,
     SCALING_E2E,
     SCALING_KERNELS,
     materialize,
@@ -73,9 +74,15 @@ def main() -> None:
     # take many samples and report the fastest (the level's steady-state
     # capability); context groups take fewer.
     # SPARK_GRAFT_GROUPS=kernels,probes,... runs a subset (bisection runs).
-    groups = os.environ.get("SPARK_GRAFT_GROUPS", "kernels,probes,e2e,pipeline")
+    groups = os.environ.get(
+        "SPARK_GRAFT_GROUPS", "burn,kernels,probes,e2e,pipeline"
+    )
     want = set(groups.split(","))
-    kernels = probes = e2e = pipeline = {}
+    burn = kernels = probes = e2e = pipeline = {}
+    if "burn" in want:
+        # JVM-matched host-capacity probe runs FIRST (fresh executors, and
+        # it doubles as the cross-JVM JIT warmup the kernels need)
+        burn = run_group(spark, HOST_BURN, sf_dir, max(repeats, 3), cpus)
     if "kernels" in want:
         kernels = run_group(spark, SCALING_KERNELS, sf_dir, max(repeats, 3), cpus)
     if "probes" in want:
@@ -88,6 +95,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": cpus,
         "sf_dir": sf_dir,
+        "burn": burn,
         "e2e": e2e,
         "kernels": kernels,
         "box_probes": probes,

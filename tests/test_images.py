@@ -25,14 +25,15 @@ def test_codec_jpeg_psnr_gate():
     assert p >= 40.0, p
 
 
-def test_decode_real_png_works_jpeg_gated():
-    # PNG path is REAL (pure-stdlib images/png.py), no PIL needed
+def test_decode_real_png_and_jpeg_work_others_gated():
+    # PNG and baseline JPEG are REAL pure-stdlib codecs — no PIL needed
     arr = codec.synth_pixels("img_r", 32, 16)
-    data = codec.encode(arr, "cap", "png")
-    assert np.array_equal(codec.decode_real(data), arr)
-    # non-PNG formats remain PIL-gated in this sandbox
+    assert np.array_equal(codec.decode_real(codec.encode(arr, "c", "png")), arr)
+    dec = codec.decode_real(codec.encode(arr, "c", "jpeg"))
+    assert codec.psnr_db(arr, dec) >= 40.0
+    # other formats (webp here) remain PIL-gated in this sandbox
     with pytest.raises(NotImplementedError):
-        codec.decode_real(b"\xff\xd8\xff\xe0 not decodable")
+        codec.decode_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_phash_deterministic_and_discriminative():
@@ -45,11 +46,20 @@ def test_phash_deterministic_and_discriminative():
 
 
 def test_decode_verify_invariants_spark(spark, sf_dir):
-    out = qi.q_image_decode_verify(spark, sf_dir)
+    from osm_coverage_spark.images import ops
+    from osm_coverage_spark.sources import derived
+
+    derived.register_derived_views(spark, sf_dir)
+    out = ops.decode_verify_int(
+        ops.with_encoded_bytes(spark.table("images"))
+    )
     bad = out.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).count()
     assert bad == 0
+    # the dB-valued invariant (BASELINE.json: PSNR >= 40 for lossy)
     low = out.filter((F.col("fmt") == "jpeg") & (F.col("psnr_db") < 40.0)).count()
     assert low == 0
+    # lossless formats must round-trip exactly
+    assert out.filter((F.col("fmt") == "png") & (F.col("sse") != 0)).count() == 0
 
 
 def test_tile_assignment_stable_across_parallelism(spark, sf_dir):

@@ -1,0 +1,100 @@
+"""Baseline-JPEG codec (images/jpeg.py): spec structure, losslessness of
+the entropy stage, PSNR bound, caption COM round-trip, block-class oracle
+consistency."""
+
+import numpy as np
+import pytest
+
+from osm_coverage_spark.images import codec, jpeg
+
+
+def _transform_roundtrip(arr):
+    h, w = arr.shape[:2]
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    fh, fw = padded.shape[:2]
+    return np.stack(
+        [
+            jpeg._from_blocks(
+                jpeg.dequant_idct(jpeg.fdct_quant(jpeg._to_blocks(padded[..., c]))),
+                fh, fw,
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )[:h, :w]
+
+
+@pytest.mark.parametrize("h,w", [(64, 64), (40, 56), (37, 61), (8, 8)])
+def test_entropy_stage_is_lossless(h, w):
+    """decode(encode(x)) must equal the bare transform round-trip — the
+    Huffman/bitstream stage adds NO error (the block-class oracle in
+    sources/image_oracle.py depends on exactly this)."""
+    arr = codec.synth_pixels(f"jt_{h}x{w}", w, h)
+    dec, cap = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, caption="käse-ππ"))
+    assert np.array_equal(dec, _transform_roundtrip(arr))
+    assert cap == "käse-ππ"
+
+
+def test_psnr_bound_and_marker_structure():
+    arr = codec.synth_pixels("jt_psnr", 96, 72)
+    data = jpeg.encode_jpeg(arr, caption="c")
+    # marker skeleton: SOI .. DQT, SOF0, 2×DHT, SOS .. EOI
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda",
+                   b"\xff\xee"):
+        assert marker in data
+    dec, _ = jpeg.decode_jpeg(data)
+    # quantizer step 2 => coefficient error <= 1 => block MSE <= 1 => >=48dB
+    assert codec.psnr_db(arr, dec) >= 48.0
+
+
+def test_random_content_roundtrip():
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    dec, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert np.array_equal(dec, _transform_roundtrip(arr))
+    assert codec.psnr_db(arr, dec) >= 40.0
+
+
+def test_class_table_matches_full_pipeline():
+    """The oracle's per-(fmt, ch, K) blocksum/sse values must equal what
+    the FULL distributed pipeline computes for a real image — this pins
+    the closed-form DuckDB oracle to the executor code path."""
+    from osm_coverage_spark.sources.image_oracle import CHANNELS, class_rows
+
+    cls = {(f, c, k): (b, s) for f, c, k, b, s in class_rows()}
+    for iid, w, h, fmt in [("img_7", 48, 40, "jpeg"), ("img_8", 32, 24, "png")]:
+        truth = codec.synth_pixels(iid, w, h)
+        dec, _, dfmt = codec.decode(codec.encode(truth, "cap", fmt))
+        assert dfmt == fmt
+        seed = int.from_bytes(
+            __import__("hashlib").md5(iid.encode()).digest()[:4], "big"
+        )
+        offs = (seed % 256, (seed // 7) % 256, (seed // 13) % 256)
+        mults = ((56, 104), (24, 248), (136, 40))  # 8*(a, b) per channel
+        exp_sum = exp_sse = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for ch in range(3):
+                    k = (mults[ch][0] * bx + mults[ch][1] * by + offs[ch]) % 256
+                    b, s = cls[(fmt, ch, k)]
+                    exp_sum += b
+                    exp_sse += s
+        d = dec.astype(np.int64)
+        assert int(d.sum()) == exp_sum
+        assert int(((d - truth.astype(np.int64)) ** 2).sum()) == exp_sse
+
+
+def test_mpng_container_roundtrip():
+    from osm_coverage_spark.images import ops
+
+    arr = codec.synth_pixels("v1", 32, 48)
+    frames = [arr[0:16], arr[16:32], arr[32:48]]
+    blob = ops.build_container(frames)
+    out = ops.parse_container(blob)
+    assert len(out) == 3
+    from osm_coverage_spark.images import png
+
+    for orig, fb in zip(frames, out):
+        assert np.array_equal(png.decode_png(fb), orig)

@@ -29,6 +29,12 @@ def pbf_file(tmp_path_factory):
         {"id": 6, "lat": 50.5, "lon": 6.6,
          "tags": {"addr:street": "Talweg", "addr:housenumber": "8",
                   "name": "Gasthof Adler"}},
+        # exact duplicate of node 1's (street, hnr, lat, lon) with a
+        # different city -> flush_buffer-parity dedup keeps ONE row,
+        # deterministically the lexicographically smaller city
+        {"id": 7, "lat": 50.1000000, "lon": 6.2000000,
+         "tags": {"addr:street": "Lindenallee", "addr:housenumber": "12",
+                  "addr:city": "Zweitdorf"}},
     ]
     # untagged vertices of a closed square way (1e-3 deg edges)
     corners = [
@@ -67,7 +73,7 @@ def test_blob_index_splits_file(spark, pbf_file):
 def test_node_decode_roundtrip(spark, pbf_file):
     nodes = pbf.pbf_nodes(spark, [pbf_file])
     rows = {r["node_id"]: r for r in nodes.collect()}
-    assert len(rows) == 6 + 4 + 600 + 1
+    assert len(rows) == 7 + 4 + 600 + 1
     r1 = rows[1]
     assert (r1["lat"], r1["lon"]) == (50.1, 6.2)
     assert r1["street"] == "Lindenallee" and r1["housenumber"] == "12"
@@ -90,6 +96,15 @@ def test_address_tag_filter_semantics(spark, pbf_file):
     assert rows[("Talweg", "8")]["housename"] is None
     assert rows[("Lindenallee", "12")]["city"] == "Dorf"
     assert rows[("Gutshof", "3")]["city"] == ""
+
+
+def test_duplicate_address_rows_deduped(spark, pbf_file):
+    """Same (street, housenumber, lat, lon) tagged twice (node 1 + node 7)
+    → one output row, deterministic survivor (min city)."""
+    addrs = pbf.pbf_addresses(spark, [pbf_file])
+    dup = addrs.filter("street = 'Lindenallee' AND housenumber = '12'").collect()
+    assert len(dup) == 1
+    assert dup[0]["city"] == "Dorf"
 
 
 def test_way_shoelace_centroid_exact(spark, pbf_file):

@@ -132,6 +132,35 @@ def test_boundary_rings_feed_pip_join(spark, rel_file):
     assert out == {1: "Mitte", 2: "draussen"}
 
 
+def test_pip_join_multi_ring_exclave(spark):
+    """A name with TWO outer rings (exclave): points in EITHER ring must
+    hit, and a point inside one ring must not be reported twice (r3 ADVICE:
+    the broadcast dict used to keep only the last ring per name)."""
+    from osm_coverage_spark.geo import pip
+
+    def ring(lat0, lon0, d=0.01):
+        return [
+            {"lon": lon0, "lat": lat0},
+            {"lon": lon0 + d, "lat": lat0},
+            {"lon": lon0 + d, "lat": lat0 + d},
+            {"lon": lon0, "lat": lat0 + d},
+        ]
+
+    polys = spark.createDataFrame(
+        [("Enklave", ring(50.0, 6.0)), ("Enklave", ring(50.5, 6.5))],
+        "name string, ring array<struct<lon double, lat double>>",
+    )
+    points = spark.createDataFrame(
+        [(1, 50.005, 6.005), (2, 50.505, 6.505), (3, 50.25, 6.25)],
+        "pid long, lat double, lon double",
+    )
+    rows = pip.pip_join(points, polys, "pid", poly_name="name",
+                        fallback="draussen").collect()
+    assert len(rows) == 3  # no duplicate hits
+    out = {r["pid"]: r["name"] for r in rows}
+    assert out == {1: "Enklave", 2: "Enklave", 3: "draussen"}
+
+
 def test_blob_index_distributed_per_file_tasks(spark, rel_file, tmp_path):
     import shutil
 

@@ -225,3 +225,47 @@ def test_flag_join_skew_split_on_planted_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_ivf_assignment_is_map_side(spark, sf_dir):
+    """The r3 verdict's one scale anti-pattern: centroid assignment used
+    crossJoin+window, shuffling the |V|×|C| expansion. Now every vector
+    picks its nearest / top-nprobe centroids in ONE projection over the
+    broadcast single-row centroid array — between the embeddings scan and
+    the (id, cid) assignment there must be NO shuffle exchange."""
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.operators import ann
+
+    derived.load_testdata(spark, sf_dir)
+    emb = spark.table("embeddings")
+    emb_int = emb.select("vec_id", ann.to_fixed(F.col("embedding")).alias("xi"))
+    init = emb_int.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("xi").alias("c")
+    )
+    assigned = ann.assign(emb_int, ann.centroid_row(init), "vec_id", "xi")
+    plan = _plan(assigned)
+    # the only exchanges allowed are broadcast (the 1-row centroid array
+    # and whatever builds it) — no hash/range repartition of the vectors
+    import re
+
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)[^\n]*", plan)
+    assert not shuffles, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dedup_jaccard_single_shingle_scan(spark, sf_dir):
+    """r3 verdict #4: jaccard used to tokenize+shingle twice. The combined
+    per-doc aggregate (minhashes + exact set in one groupBy) must leave at
+    most ONE live scan of `documents` in the executed plan — every other
+    consumer must hang off a ReusedExchange."""
+    from osm_coverage_spark import queries_text as qt
+
+    df = qt.q_dedup_jaccard(spark, sf_dir)
+    df.collect()  # AQE finalizes only the executed DataFrame object
+    plan = _plan(df)
+    n_scans = plan.count("documents.parquet")
+    n_reused = plan.count("ReusedExchange")
+    assert n_scans <= 1 or n_reused >= 2, (
+        f"scans={n_scans} reused={n_reused}\n" + plan
+    )

@@ -139,3 +139,26 @@ def test_disc_stencil_join_equals_key_only_join_near_boundaries(spark):
     }
     assert with_cells == brute
     assert any(with_cells.values()) and not all(with_cells.values())
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with the k-means-trained quantizer must recover a solid share
+    of the exact cosine top-k (nprobe=3 of ~14 lists, L2 coarse quantizer
+    vs cosine ranking — the standard IVF tradeoff; measured 0.68 at
+    sf0.001). Guards against a broken quantizer (recall would collapse
+    toward nprobe/|lists| ≈ 0.2)."""
+    from osm_coverage_spark import queries_misc as qm
+    from osm_coverage_spark import queries_text as qt
+
+    ivf = qm.q_ann_ivf(spark, sf_dir).toPandas()
+    bf = qt.QUERIES["ann_topk"](spark, sf_dir).toPandas()
+    common = set(ivf.query_id) & set(bf.query_id)
+    truth = {
+        (q, n) for q, n in zip(bf.query_id, bf.neighbor_id) if q in common
+    }
+    got = {
+        (q, n) for q, n in zip(ivf.query_id, ivf.neighbor_id) if q in common
+    }
+    assert truth, "no common queries between ivf and brute force"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall

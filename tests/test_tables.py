@@ -140,3 +140,54 @@ def test_merge_swap_failure_leaves_recoverable_table(spark, monkeypatch):
         monkeypatch.undo()
         got = [tuple(r) for r in tables.read_table(spark, target).collect()]
         assert got == [("a", "2024-01-01", 1)]  # old table intact
+
+
+def test_snapshot_time_travel_reads(spark):
+    """Iceberg `VERSION AS OF` contract on the stand-in: every MERGE
+    commit retains the pre-commit state as a numbered snapshot;
+    read_table_at replays any retained version and expire_snapshots
+    bounds retention."""
+    with tempfile.TemporaryDirectory() as tmp:
+        target = os.path.join(tmp, "hist")
+        v1 = spark.createDataFrame(
+            [("a", "2024-01-01", 1)], "name string, date string, missing int"
+        )
+        tables.write_table(v1, target)
+        tables.merge_upsert(
+            spark,
+            target,
+            spark.createDataFrame([("a", "2024-01-01", 2)], v1.schema),
+            ("name", "date"),
+        )
+        tables.merge_upsert(
+            spark,
+            target,
+            spark.createDataFrame([("b", "2024-01-02", 3)], v1.schema),
+            ("name", "date"),
+        )
+        assert tables.snapshots(target) == [1, 2]
+
+        def rows(df):
+            return sorted((r["name"], r["date"], r["missing"]) for r in df.collect())
+
+        # v1 = initial write, v2 = after first merge, live = after second
+        assert rows(tables.read_table_at(spark, target, 1)) == [
+            ("a", "2024-01-01", 1)
+        ]
+        assert rows(tables.read_table_at(spark, target, 2)) == [
+            ("a", "2024-01-01", 2)
+        ]
+        live = [("a", "2024-01-01", 2), ("b", "2024-01-02", 3)]
+        assert rows(tables.read_table_at(spark, target)) == live
+        assert rows(tables.read_table_at(spark, target, 3)) == live  # = live
+
+        import pytest as _pt
+
+        assert tables.expire_snapshots(target, keep_last=1) == [1]
+        assert tables.snapshots(target) == [2]
+        with _pt.raises(ValueError):
+            tables.read_table_at(spark, target, 1)
+        # retained snapshot still readable after expiry of older ones
+        assert rows(tables.read_table_at(spark, target, 2)) == [
+            ("a", "2024-01-01", 2)
+        ]
