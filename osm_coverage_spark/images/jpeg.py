@@ -212,12 +212,19 @@ def _marker(tag: int, payload: bytes) -> bytes:
 
 
 def encode_jpeg(
-    arr: np.ndarray, caption: str = "", qstep: int = DEFAULT_QUANT
+    arr: np.ndarray, caption: str = "", qstep: int = DEFAULT_QUANT,
+    restart_rows: int | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JPEG bytes (4:4:4, RGB via APP14).
 
     Dimensions not divisible by 8 are edge-replicated to the block grid
-    (decoder crops back using the true SOF0 dimensions)."""
+    (decoder crops back using the true SOF0 dimensions).
+
+    ``restart_rows``: emit a DRI marker and RSTn restart markers every
+    that many MCU rows (spec F.1.2.3 / B.2.4.4). Restart intervals reset
+    the DC predictors and byte-align the stream, making each interval
+    independently decodable — the property real pipelines use for robust
+    / parallel decode of a single large image."""
     h, w = arr.shape[:2]
     ph, pw = -h % 8, -w % 8
     if ph or pw:
@@ -231,7 +238,20 @@ def encode_jpeg(
         for c in range(3)
     ]
     zz_all = np.stack(planes, axis=1).reshape(-1, 64).astype(np.int64)
-    stream = _entropy_encode(zz_all, ncomp=3)
+    interval = 0
+    if restart_rows:
+        interval = (fw // 8) * restart_rows  # MCUs per restart interval
+    if interval:
+        chunks = []
+        for i, start in enumerate(range(0, zz_all.shape[0], interval * 3)):
+            if start:
+                chunks.append(bytes([0xFF, 0xD0 + ((i - 1) % 8)]))
+            chunks.append(
+                _entropy_encode(zz_all[start : start + interval * 3], ncomp=3)
+            )
+        stream = b"".join(chunks)
+    else:
+        stream = _entropy_encode(zz_all, ncomp=3)
 
     qtab_zz = np.full(64, qstep, dtype=np.uint8)[ZZ_INV]  # stored in zigzag
     out = bytearray(b"\xff\xd8")  # SOI
@@ -240,6 +260,8 @@ def encode_jpeg(
     if caption:
         out += _marker(0xFFFE, caption.encode("utf-8"))  # COM
     out += _marker(0xFFDB, b"\x00" + qtab_zz.tobytes())  # DQT id 0
+    if interval:
+        out += _marker(0xFFDD, struct.pack(">H", interval))  # DRI
     # SOF0 carries the TRUE dimensions (spec A.2.1); the sample grid is
     # ceil(dim/8) blocks and the decoder crops the replicated edge back off.
     sof = struct.pack(">BHHB", 8, h, w, 3)
@@ -381,6 +403,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
     ac_tabs: dict[int, list] = {}
     caption = ""
     fh = fw = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, qtab, sampling)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
     scan_start = -1
@@ -427,6 +450,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
             raise ValueError("only baseline sequential (SOF0) supported")
         elif tag == 0xFE:  # COM
             caption = body.decode("utf-8", errors="replace")
+        elif tag == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [
@@ -458,6 +483,21 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
     pos = 0
     preds = [0] * ncomp
     for _m in range(n_blocks):
+        if restart_interval and _m and _m % restart_interval == 0:
+            # byte-align, consume the RSTn marker, reset DC predictors
+            drop = nbits % 8
+            nbits -= drop
+            acc &= (1 << nbits) - 1
+            while nbits < 16:
+                acc = (acc << 8) | (data[pos] if pos < dlen else 0xFF)
+                pos += 1
+                nbits += 8
+            nbits -= 16
+            marker = (acc >> nbits) & 0xFFFF
+            acc &= (1 << nbits) - 1
+            if not (0xFFD0 <= marker <= 0xFFD7):
+                raise ValueError(f"expected RSTn at MCU {_m}, got {marker:#x}")
+            preds = [0] * ncomp
         for c in range(ncomp):
             dct, act = tabs[c]
             blk = [0] * 64

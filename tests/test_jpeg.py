@@ -98,3 +98,28 @@ def test_mpng_container_roundtrip():
 
     for orig, fb in zip(frames, out):
         assert np.array_equal(png.decode_png(fb), orig)
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn support (spec B.2.4.4): restart intervals byte-align the
+    stream, reset DC prediction, and decode to exactly the same pixels as
+    the marker-free stream — each interval is independently decodable."""
+    arr = codec.synth_pixels("jt_rst", 88, 64)  # 11x8 blocks
+    plain = jpeg.encode_jpeg(arr, caption="r")
+    rst = jpeg.encode_jpeg(arr, caption="r", restart_rows=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    dec_p, _ = jpeg.decode_jpeg(plain)
+    dec_r, cap = jpeg.decode_jpeg(rst)
+    assert cap == "r"
+    assert np.array_equal(dec_p, dec_r)
+    assert codec.psnr_db(arr, dec_r) >= 48.0
+
+
+def test_restart_marker_sequence_numbers_wrap():
+    # enough intervals (>8) to exercise the RST0..RST7 modulo cycle
+    arr = codec.synth_pixels("jt_rst2", 16, 96)  # 12 MCU rows, 2 MCUs each
+    rst = jpeg.encode_jpeg(arr, restart_rows=1)  # 11 markers -> wraps
+    dec, _ = jpeg.decode_jpeg(rst)
+    plain_dec, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert np.array_equal(dec, plain_dec)
