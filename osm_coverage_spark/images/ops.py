@@ -2,11 +2,12 @@
 
 The encode→decode→verify loop runs distributed: every batch synthesizes its
 ground-truth pixels from the image id (no driver-side arrays), encodes with
-the deterministic codec, decodes, and checks the BASELINE.json per-row
-invariants — decoded-pixel allclose (PSNR >= 40 dB for lossy) and caption
-equality. Feature extraction (mean-grid) and pHash are numpy-vectorized per
-image inside the same batch loop — no row-at-a-time Python at the Spark
-boundary (one Arrow batch in, one out).
+the REAL stdlib codecs (PNG/baseline-JPEG), decodes, and checks the
+BASELINE.json per-row invariants — decoded-pixel match (integer PSNR≥40
+gate for lossy) and caption equality — emitting integer-exact stats the
+block-class DuckDB oracle (sources/image_oracle.py) reproduces. Work is
+numpy-vectorized per image inside the batch loop — no row-at-a-time Python
+at the Spark boundary (one Arrow batch in, one out).
 """
 
 from __future__ import annotations
@@ -19,15 +20,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import codec
-
-PSNR_GATE_DB = 40.0
-
-VERIFY_SCHEMA = (
-    "image_id string, fmt string, psnr_db double, pixels_ok boolean, "
-    "caption_ok boolean, mean_px double"
-)
-
-FEATURE_SCHEMA = "image_id string, feature array<float>, phash bigint"
 
 
 def with_encoded_bytes(images: DataFrame) -> DataFrame:
@@ -58,81 +50,6 @@ def with_encoded_bytes(images: DataFrame) -> DataFrame:
         "phash bigint, bytes binary"
     )
     return images.mapInPandas(encode_batch, schema)
-
-
-def decode_verify(images_with_bytes: DataFrame) -> DataFrame:
-    """Decode every blob and verify the per-row invariants against the
-    regenerated ground truth. Returns one verification row per image."""
-
-    def verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for iid, data, w, h, fmt, cap in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
-                pdf["caption"],
-            ):
-                arr, dec_cap, dec_fmt = codec.decode(bytes(data))
-                truth = codec.synth_pixels(iid, int(w), int(h))
-                p = codec.psnr_db(truth, arr)
-                lossless_ok = dec_fmt == "png" and np.array_equal(arr, truth)
-                lossy_ok = dec_fmt == "jpeg" and p >= PSNR_GATE_DB
-                rows.append(
-                    (
-                        iid,
-                        dec_fmt,
-                        round(min(p, 99.0), 2),
-                        bool(lossless_ok or lossy_ok),
-                        dec_cap == cap,
-                        round(float(arr.mean()), 4),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "fmt", "psnr_db", "pixels_ok", "caption_ok",
-                    "mean_px",
-                ],
-            )
-
-    return images_with_bytes.mapInPandas(verify_batch, VERIFY_SCHEMA)
-
-
-def extract_features(images_with_bytes: DataFrame, grid: int = 4) -> DataFrame:
-    """Decode → grayscale mean-grid feature vector + DCT pHash per image."""
-
-    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
-                arr, _, _ = codec.decode(bytes(data))
-                gray = arr.astype(np.float32).mean(axis=-1)
-                small = codec.resize_nearest(gray[..., None], grid, grid)[..., 0]
-                rows.append((iid, small.flatten().tolist(), codec.phash64(arr)))
-            yield pd.DataFrame(rows, columns=["image_id", "feature", "phash"])
-
-    return images_with_bytes.mapInPandas(feat_batch, FEATURE_SCHEMA)
-
-
-def frame_sample(images_with_bytes: DataFrame, n_frames: int = 3) -> DataFrame:
-    """Video-style frame sampling stub: treats the image as a 1-frame clip
-    and emits row-strips as 'frames' — superseded by the real MPNG
-    container pipeline (make_video_container / sample_container_frames)
-    but kept for the simple float API."""
-
-    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
-                arr, _, _ = codec.decode(bytes(data))
-                h = arr.shape[0]
-                for k in range(n_frames):
-                    strip = arr[k * h // n_frames : (k + 1) * h // n_frames]
-                    rows.append((iid, k, round(float(strip.mean()), 4)))
-            yield pd.DataFrame(rows, columns=["image_id", "frame", "mean_px"])
-
-    return images_with_bytes.mapInPandas(
-        sample_batch, "image_id string, frame int, mean_px double"
-    )
 
 
 # ---------------------------------------------------------------------------

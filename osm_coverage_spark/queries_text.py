@@ -8,7 +8,7 @@ explode except SimHash's token unpivot); every query has a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import text_ops as T
@@ -498,12 +498,96 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {ANN_K}
 """
 
+# --------------------------------------------------------------------------
+# Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — public
+# paper): per-document sketch = the minimum k-gram hash of every sliding
+# window of w consecutive k-grams, deduplicated. Guarantees any shared
+# substring of length >= w + k - 1 contributes a common fingerprint —
+# the "rolling hash" document-fingerprinting operator of the LLM-data
+# toolkit. The k-gram hash is a Karp-Rabin polynomial (base 131 mod
+# 2^31-1) over codepoints, written as ONE shared SQL text evaluated by
+# both Catalyst and DuckDB, so parity is by construction. Windows are a
+# ROWS frame min over (hash << 15 | pos) packed BIGINTs (ties break to
+# the leftmost position, deterministic both sides).
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8   # k-gram length (chars)
+WINNOW_W = 4   # window: shared substrings >= 11 chars always fingerprint
+_WINNOW_M = 2147483647  # 2^31 - 1
+
+
+def _winnow_hash_sql() -> str:
+    """Karp-Rabin polynomial over the k codepoints of the gram at `pos`
+    (1-based substr), as dialect-shared SQL."""
+    terms = [
+        f"(CAST(ascii(substr(text, pos + {i + 1}, 1)) AS BIGINT) % {_WINNOW_M})"
+        f" * {pow(131, WINNOW_K - 1 - i, _WINNOW_M)} % {_WINNOW_M}"
+        for i in range(WINNOW_K)
+    ]
+    return "(" + " + ".join(terms) + f") % {_WINNOW_M}"
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived.register_derived_views(spark, sf_dir)
+    return winnow(spark.table("documents"))
+
+
+def winnow(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → winnowing sketch rows (doc_id, gram_pos,
+    gram_hash). Any substring of length ≥ WINNOW_W + WINNOW_K − 1 shared
+    by two documents contributes at least one common gram_hash."""
+    grams = docs.filter(F.length("text") >= WINNOW_K).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - WINNOW_K)
+        ).alias("pos"),
+    )
+    pack = (
+        F.expr(_winnow_hash_sql()).cast("bigint") * 32768 + F.col("pos")
+    ).alias("pack")
+    g = grams.select("doc_id", "pos", pack)
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = g.select("doc_id", F.min("pack").over(win).alias("m")).distinct()
+    return sel.select(
+        "doc_id",
+        (F.col("m") % 32768).cast("int").alias("gram_pos"),
+        F.expr("m div 32768").cast("bigint").alias("gram_hash"),
+    )
+
+
+ORACLE["doc_winnowing"] = f"""
+WITH g AS (
+  SELECT doc_id, pos,
+         CAST({_winnow_hash_sql()} AS BIGINT) * 32768 + pos AS pack
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text) - {WINNOW_K} + 1)) AS pos
+    FROM documents WHERE length(text) >= {WINNOW_K}
+  )
+),
+wm AS (
+  SELECT DISTINCT doc_id,
+         min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS m
+  FROM g
+)
+SELECT doc_id, CAST(m % 32768 AS INT) AS gram_pos,
+       CAST(m // 32768 AS BIGINT) AS gram_hash
+FROM wm
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnowing": q_doc_winnowing,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

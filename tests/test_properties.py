@@ -162,3 +162,24 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert truth, "no common queries between ivf and brute force"
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing (SIGMOD'03) correctness property: two documents sharing a
+    substring of length >= w + k - 1 must share at least one selected
+    fingerprint; disjoint-alphabet documents must share none."""
+    from osm_coverage_spark import queries_text as qt
+
+    shared = "GEMEINSAMER-LAUF-123"  # len 20 >= WINNOW_W + WINNOW_K - 1 = 11
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaaa bbb {shared} cc dddd eee"),
+            (2, f"zzzz qq rr {shared} ss tttt uu vv"),
+            (3, "0123456789 0123456789 0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    out = qt.winnow(docs).toPandas()
+    h = {i: set(out[out.doc_id == i].gram_hash) for i in (1, 2, 3)}
+    assert h[1] & h[2], "shared substring must fingerprint"
+    assert not (h[1] & h[3]) and not (h[2] & h[3])
