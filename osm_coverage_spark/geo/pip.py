@@ -114,6 +114,11 @@ def pip_join(
         "lon",
         cell_expr(F.col("lat"), F.col("lon"), res).alias("_pcell"),
     )
+    # rings collected up front (cached broadcast, see _rings_broadcast) —
+    # also tells us whether any name has multiple outer rings, which
+    # decides if the cover needs a dedup below
+    rings_b = _rings_broadcast(points.sparkSession, polygons, poly_name)
+    multi_ring = any(len(r) > 1 for r in rings_b.value.values())
     # bbox polyfill: explode the polygon's cell cover (small — polygons are
     # the dimension side), broadcast-join candidates on cell equality.
     from .cells import IX_BASE, R_BASE, cell_size_deg
@@ -133,9 +138,12 @@ def pip_join(
             + F.col("_iy"),
         )
         .select(poly_name, "_pcell")
-        .distinct()  # two rings of one name may cover the same cell —
-                     # without this the candidate join would duplicate hits
     )
+    if multi_ring:
+        # two rings of one name may cover the same cell — without this
+        # dedup the candidate join would emit duplicate hits; skipped in
+        # the common single-ring case (no duplicates possible)
+        cover = cover.distinct()
 
     # rings travel ONCE per executor as a broadcast dict (polygons are the
     # dimension side — same size assumption the broadcast cover already
@@ -147,8 +155,6 @@ def pip_join(
     # shadow another. Broadcasts are cached per (context, plan) so
     # repeated invocations (bench loops, long sessions) reuse one
     # broadcast instead of leaking a new one per call.
-    rings_b = _rings_broadcast(points.sparkSession, polygons, poly_name)
-
     cand = pts.join(F.broadcast(cover), "_pcell")
 
     schema = StructType(
