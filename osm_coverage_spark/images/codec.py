@@ -34,7 +34,10 @@ def encode(arr: np.ndarray, caption: str, fmt: str) -> bytes:
     if fmt == "jpeg":
         from . import jpeg as _jpeg
 
-        return _jpeg.encode_jpeg(arr, caption=caption)
+        # restart markers every 8 MCU rows: real-world robustness structure
+        # (independently decodable intervals), reconstruction-identical —
+        # the block-class oracle is unaffected by entropy framing
+        return _jpeg.encode_jpeg(arr, caption=caption, restart_rows=8)
     if fmt == "png":
         from . import png as _png
 
