@@ -111,18 +111,25 @@ ORACLE["image_decode_verify"] = _io.decode_verify_sql()
 ORACLE["image_features"] = _io.features_sql()
 ORACLE["image_frame_sample"] = _io.frame_sample_sql()
 
-ORACLE["pip_zones"] = f"""{derived.oracle_prelude_polys()}
+# Both polys oracles join on the provably-equivalent grid candidate key
+# PLUS the exact bbox predicate (see derived.POINT_GKEY: avoids DuckDB
+# 1.0's bare-inequality IEJoin, which can livelock on a many-thread pool).
+ORACLE["pip_zones"] = f"""{derived.oracle_prelude_polys()},
+ig AS (SELECT image_id, lon, lat, {derived.POINT_GKEY} AS gkey FROM images)
 SELECT i.image_id, coalesce(p.zone, 'none') AS zone
-FROM images i LEFT JOIN polys p
-  ON i.lon > p.lon_min AND i.lon < p.lon_max
+FROM ig i LEFT JOIN polys p
+  ON p.gkey = i.gkey
+ AND i.lon > p.lon_min AND i.lon < p.lon_max
  AND i.lat > p.lat_min AND i.lat < p.lat_max
 """
 
-ORACLE["raster_vector_join"] = f"""{derived.oracle_prelude_polys()}
+ORACLE["raster_vector_join"] = f"""{derived.oracle_prelude_polys()},
+ig AS (SELECT image_id, lon, lat, {derived.POINT_GKEY} AS gkey FROM images)
 SELECT p.zone, {_cells.cell_sql('i.lat', 'i.lon', 12)} AS tile,
        CAST(count(*) AS BIGINT) AS n_images
-FROM images i JOIN polys p
-  ON i.lon > p.lon_min AND i.lon < p.lon_max
+FROM ig i JOIN polys p
+  ON p.gkey = i.gkey
+ AND i.lon > p.lon_min AND i.lon < p.lon_max
  AND i.lat > p.lat_min AND i.lat < p.lat_max
 GROUP BY 1, 2
 """

@@ -360,12 +360,26 @@ def oracle_prelude_emb() -> str:
 
 POLYS_CTE = """polys AS (
   SELECT n_name AS zone,
+    CAST(n_nationkey AS BIGINT) AS gkey,
     6.0e0 + (n_nationkey % 5) * 0.85e0 + 0.00003e0 AS lon_min,
     6.0e0 + (n_nationkey % 5) * 0.85e0 + 0.00003e0 + 0.8e0 AS lon_max,
     50.0e0 + CAST(floor(n_nationkey / 5.0e0) AS BIGINT) * 0.41e0 + 0.00003e0 AS lat_min,
     50.0e0 + CAST(floor(n_nationkey / 5.0e0) AS BIGINT) * 0.41e0 + 0.00003e0 + 0.38e0 AS lat_max
   FROM nation
 )"""
+
+# Candidate-key restriction for the polys oracles: the fixture polygons
+# tile an exact 5×5 grid with 0.85°×0.41° pitch, each box strictly inside
+# its pitch cell, so the ONLY polygon that can bbox-contain a point is the
+# one at (floor((lon−6)/0.85), floor((lat−50)/0.41)). Joining on that key
+# PLUS the bbox predicate is provably equivalent to the bare bbox join —
+# and it gives DuckDB an equality condition, avoiding its bare-inequality
+# IEJoin operator, which livelocks (sched_yield spin, >9 min on a 0.01 s
+# query) on a many-thread pool after certain prior parallel queries in
+# DuckDB 1.0 — reproduced: image_decode_verify oracle then the old
+# inequality-only pip_zones oracle on one connection.
+POINT_GKEY = ("(CAST(floor((lon - 6.0e0) / 0.85e0) AS BIGINT) + "
+              "5 * CAST(floor((lat - 50.0e0) / 0.41e0) AS BIGINT))")
 
 
 def oracle_prelude_polys() -> str:
