@@ -123,3 +123,27 @@ def test_restart_marker_sequence_numbers_wrap():
     dec, _ = jpeg.decode_jpeg(rst)
     plain_dec, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
     assert np.array_equal(dec, plain_dec)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    caption=st.text(max_size=24),
+    restart=st.sampled_from([None, 1, 3]),
+)
+def test_jpeg_roundtrip_property(w, h, seed, caption, restart):
+    """Any content, any dims (incl. < 8), any unicode caption, with or
+    without restart markers: decode(encode(x)) equals the bare transform
+    round-trip and the caption survives byte-exactly."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(arr, caption=caption, restart_rows=restart)
+    dec, cap = jpeg.decode_jpeg(data)
+    assert dec.shape == arr.shape
+    assert np.array_equal(dec, _transform_roundtrip(arr))
+    assert cap == (caption if caption else "")
