@@ -329,7 +329,11 @@ def main() -> None:
         "The flagship's residual below the kernels is the box's shuffle",
         "path: one local disk + one loopback serve both levels (a real 4N",
         "cluster multiplies per-node disks and NICs), measured in isolation",
-        "by the bare-shuffle probe below.",
+        "by the bare-shuffle probe below. Probed alternative (r4):",
+        "`spark.shuffle.compress=false` at both levels — N 16.9→18.1 s,",
+        "4N 14.3→14.7 s, i.e. no win on either side: the shuffle cost is",
+        "DRAM/allocation saturation, not lz4 CPU, so config cannot buy the",
+        "efficiency a second node's memory bus would.",
     ]
     md += table(
         "## Compute-dense engine kernels (the scaling-efficiency claim)",
