@@ -512,7 +512,9 @@ def imported_tables(
 
 def pbf_addresses_from_import(spark: SparkSession, out_dir: str) -> DataFrame:
     """Same contract as ``pbf_addresses`` over an ``import_pbf`` output —
-    no wire re-decode."""
+    no wire re-decode.  Applies the SAME (street, housenumber, lat, lon)
+    dedup as the direct path (``_dedup_addresses``): an address tagged on
+    both a node and its building way must come out once either way."""
     nodes, ways, rels = imported_tables(spark, out_dir)
     node_addrs = _address_projection(nodes, F.col("lat"), F.col("lon"))
     ctr = way_centroids(ways, nodes)
@@ -526,7 +528,9 @@ def pbf_addresses_from_import(spark: SparkSession, out_dir: str) -> DataFrame:
         mp.join(rctr, "rel_id").filter("complete"),
         F.col("c_lat"), F.col("c_lon"),
     )
-    return node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
+    return _dedup_addresses(
+        node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -836,11 +840,17 @@ def pbf_addresses(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
         F.col("c_lat"), F.col("c_lon"),
     )
     out = node_addrs.unionByName(way_addrs).unionByName(rel_addrs)
-    # Reference parity (03_extract_osm.py flush_buffer): the same address
-    # tagged on both a node and its building way/relation at the same spot
-    # is emitted once — dedup on (street, housenumber, lat, lon), with a
-    # deterministic survivor (ordered by housename/city, not partition
-    # luck) so distributed runs stay bit-stable.
+    return _dedup_addresses(out)
+
+
+def _dedup_addresses(out: DataFrame) -> DataFrame:
+    """Reference parity (03_extract_osm.py flush_buffer): the same address
+    tagged on both a node and its building way/relation at the same spot
+    is emitted once — dedup on (street, housenumber, lat, lon), with a
+    deterministic survivor (ordered by housename/city, not partition
+    luck) so distributed runs stay bit-stable.  Shared by the wire path
+    (``pbf_addresses``) and the lake path (``pbf_addresses_from_import``)
+    so the two honor the same contract."""
     from pyspark.sql import Window as _W
 
     wdd = _W.partitionBy("street", "housenumber", "lat", "lon").orderBy(

@@ -16,14 +16,21 @@ HOLE = [(210, 50.00025, 6.00025), (211, 50.00025, 6.00075),
 # admin boundary square: lon 6.01..6.03, lat 50.01..50.03
 ADMIN = [(220, 50.01, 6.01), (221, 50.01, 6.03), (222, 50.03, 6.03),
          (223, 50.03, 6.01)]
+# node+way duplicate: same address tagged on a node AND its building way.
+# The way is degenerate ([230, 230] — zero area), so way_centroids falls
+# back to the vertex mean = bit-exactly the node's own coordinates, making
+# the (street, housenumber, lat, lon) dedup key collide by construction.
+DUP = [(230, 50.04, 6.04)]
 
 
 @pytest.fixture(scope="module")
 def rel_file(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("pbfrel") / "relations.osm.pbf")
     dense = [
-        {"id": i, "lat": la, "lon": lo} for i, la, lo in OUTER + HOLE + ADMIN
+        {"id": i, "lat": la, "lon": lo}
+        for i, la, lo in OUTER + HOLE + ADMIN + DUP
     ]
+    dense[-1]["tags"] = {"addr:street": "Doppelt", "addr:housenumber": "7"}
     ways = [
         # outer ring split across two OPEN ways (stitching required),
         # second one reversed (endpoint matching must handle direction)
@@ -37,6 +44,11 @@ def rel_file(tmp_path_factory):
         # way with a ref that exists in no blob (clipped extract)
         {"id": 85, "refs": [200, 9999, 202, 200],
          "tags": {"addr:street": "Kaputt", "addr:housenumber": "1"}},
+        # building way tagged with the SAME address as node 230 (see DUP):
+        # degenerate ring -> centroid == node position bit-exactly
+        {"id": 86, "refs": [230, 230],
+         "tags": {"addr:street": "Doppelt", "addr:housenumber": "7",
+                  "addr:city": "Stadt"}},
     ]
     relations = [
         {"id": 90,
@@ -188,6 +200,11 @@ def test_import_pbf_one_pass_equals_direct(spark, rel_file, tmp_path):
         map(tuple, pbf.pbf_addresses_from_import(spark, out).collect())
     )
     assert direct == via_import and len(direct) > 0
+    # the node+way duplicate address (node 230 / way 86) must come out
+    # exactly ONCE on BOTH paths, with the deterministic survivor (the
+    # node row: city "" sorts before the way row's "Stadt")
+    dups = [t for t in via_import if t[0] == "Doppelt"]
+    assert len(dups) == 1 and dups[0][3] == ""
     # partition pruning: each kind reads only its etype partition
     import os
 
