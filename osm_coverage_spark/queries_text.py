@@ -143,6 +143,50 @@ def _minhash_pairs_from_sig(sig: DataFrame, pin: F.Column | None = None) -> Data
     return pairs.select("id_a", "id_b").distinct()
 
 
+SUBSTR_TAU = 0.7  # min winnowing-fingerprint coverage of the smaller doc
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs — the consumer of the winnowing
+    sketch (r4 verdict #4): documents whose shared distinct winnowing
+    fingerprints COVER >= SUBSTR_TAU of the smaller document's sketch
+    (the MOSS-style containment score). Every shared substring of length
+    >= WINNOW_W + WINNOW_K - 1 contributes a common fingerprint
+    (Schleimer/Wilkerson/Aiken guarantee), so a high coverage ratio means
+    long contiguous copied passages — the exact-substring training-data
+    dedup product. An absolute shared-count threshold is noise on
+    template-heavy corpora (every doc pair here shares a few boilerplate
+    phrases); the ratio separates cleanly (planted dups ~1.0, background
+    < 0.5 on the synthetic table).
+
+    Scale shape: the sketch is per-doc window work (no cross-doc shuffle);
+    sketch sizes ride along as a window count (no extra join); pairing
+    routes through the hot-bucket-guarded banded self-join
+    (operators/skew.banded_self_pairs) keyed on gram_hash, so a
+    boilerplate fingerprint shared by S docs costs S x target_block, not
+    S^2 in one task; the pair aggregation is a plain partial-agg groupBy.
+    No all-pairs path at any |docs|."""
+    derived.register_derived_views(spark, sf_dir)
+    sk = winnow(spark.table("docs_dup")).select("doc_id", "gram_hash").distinct()
+    sk = sk.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    pairs = banded_self_pairs(sk, ["gram_hash"], "doc_id", payload_cols=("n",))
+    agg = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("shared_fps"),
+        F.max("n_a").alias("_na"),
+        F.max("n_b").alias("_nb"),
+    )
+    cov = F.round(
+        F.col("shared_fps").cast("double") / F.least("_na", "_nb"), 9
+    )
+    return (
+        agg.withColumn("coverage", cov)
+        .filter(F.col("coverage") >= SUBSTR_TAU)
+        .select("id_a", "id_b", "shared_fps", "coverage")
+    )
+
+
 JACCARD_TAU = 0.6
 
 
@@ -514,6 +558,10 @@ FROM ranked WHERE rank <= {ANN_K}
 WINNOW_K = 8   # k-gram length (chars)
 WINNOW_W = 4   # window: shared substrings >= 11 chars always fingerprint
 _WINNOW_M = 2147483647  # 2^31 - 1
+# pos packs below the hash in hash * 2^20 + pos: documents up to 2^20 chars
+# (~1 MiB) keep pos out of the hash bits (r4 ADVICE: the old 2^15 field
+# overflowed past ~32K chars). hash < 2^31, so pack < 2^51 — BIGINT-safe.
+_WINNOW_POS_FIELD = 1048576  # 2^20
 
 
 def _winnow_hash_sql() -> str:
@@ -544,7 +592,8 @@ def winnow(docs: DataFrame) -> DataFrame:
         ).alias("pos"),
     )
     pack = (
-        F.expr(_winnow_hash_sql()).cast("bigint") * 32768 + F.col("pos")
+        F.expr(_winnow_hash_sql()).cast("bigint") * _WINNOW_POS_FIELD
+        + F.col("pos")
     ).alias("pack")
     g = grams.select("doc_id", "pos", pack)
     win = (
@@ -554,18 +603,20 @@ def winnow(docs: DataFrame) -> DataFrame:
     sel = g.select("doc_id", F.min("pack").over(win).alias("m")).distinct()
     return sel.select(
         "doc_id",
-        (F.col("m") % 32768).cast("int").alias("gram_pos"),
-        F.expr("m div 32768").cast("bigint").alias("gram_hash"),
+        (F.col("m") % _WINNOW_POS_FIELD).cast("int").alias("gram_pos"),
+        F.expr(f"m div {_WINNOW_POS_FIELD}").cast("bigint").alias("gram_hash"),
     )
 
 
-ORACLE["doc_winnowing"] = f"""
-WITH g AS (
+def _winnow_sketch_cte(table: str) -> str:
+    """DuckDB CTE pair (g, wm) computing the winnowing pack minima of
+    ``table`` — shared by the sketch oracle and its pair-consumer."""
+    return f"""g AS (
   SELECT doc_id, pos,
-         CAST({_winnow_hash_sql()} AS BIGINT) * 32768 + pos AS pack
+         CAST({_winnow_hash_sql()} AS BIGINT) * {_WINNOW_POS_FIELD} + pos AS pack
   FROM (
     SELECT doc_id, text, unnest(range(0, length(text) - {WINNOW_K} + 1)) AS pos
-    FROM documents WHERE length(text) >= {WINNOW_K}
+    FROM {table} WHERE length(text) >= {WINNOW_K}
   )
 ),
 wm AS (
@@ -574,10 +625,110 @@ wm AS (
                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
            AS m
   FROM g
-)
-SELECT doc_id, CAST(m % 32768 AS INT) AS gram_pos,
-       CAST(m // 32768 AS BIGINT) AS gram_hash
+)"""
+
+
+ORACLE["doc_winnowing"] = f"""
+WITH {_winnow_sketch_cte("documents")}
+SELECT doc_id, CAST(m % {_WINNOW_POS_FIELD} AS INT) AS gram_pos,
+       CAST(m // {_WINNOW_POS_FIELD} AS BIGINT) AS gram_hash
 FROM wm
+"""
+
+
+ORACLE["dedup_substring"] = f"""{_D},
+{_winnow_sketch_cte("docs_dup")},
+sk AS (
+  SELECT DISTINCT doc_id, CAST(m // {_WINNOW_POS_FIELD} AS BIGINT) AS gram_hash
+  FROM wm
+),
+skn AS (
+  SELECT doc_id, gram_hash,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM sk
+),
+agg AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_fps,
+         max(a.n) AS na, max(b.n) AS nb
+  FROM skn a JOIN skn b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_fps,
+       round(CAST(shared_fps AS DOUBLE) / least(na, nb), 9) AS coverage
+FROM agg
+WHERE round(CAST(shared_fps AS DOUBLE) / least(na, nb), 9) >= {SUBSTR_TAU}
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-mix assembly: deterministic stratified quota sampling. Strata =
+# language; per-stratum quota = the mixture weights a curation pipeline
+# dials (e.g. upsample en, cap zh). Selection is hash-ranked — the
+# row_number over md5('mix|' || doc_id) picks a uniform, seed-stable
+# pseudo-random quota per stratum with NO sampleBy nondeterminism, so the
+# same mix reproduces bit-identically on any cluster/partitioning.
+# --------------------------------------------------------------------------
+
+MIX_QUOTAS = {"en": 60, "de": 25, "fr": 20, "es": 20, "zh": 15}
+_MIX_SALT_N = 16
+
+
+def _mix_rank_key():
+    return F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sample: top-quota rows per language stratum
+    under a deterministic hash order.
+
+    Scale shape: a naive row_number over Window.partitionBy(lang) hands an
+    ENTIRE stratum ('en' is ~40% of a 100 TB corpus) to one task. Instead:
+    pass 1 takes the per-(lang, salt) local top-quota (16-way salted — each
+    task sorts ~1/16th of a stratum and emits <= quota rows); pass 2 ranks
+    only the <= 16*quota survivors per stratum. Global top-quota rows are
+    each in their salt-partition's local top-quota, so the result — and
+    the final rank — is provably identical to the direct window (pytest
+    asserts equality), while the widest per-task sort is bounded."""
+    derived.register_derived_views(spark, sf_dir)
+    docs = spark.table("documents")
+    key = _mix_rank_key()
+    quota = None
+    for lang, q in MIX_QUOTAS.items():
+        cond = F.when(F.col("lang") == lang, F.lit(q))
+        quota = cond if quota is None else quota.when(F.col("lang") == lang, F.lit(q))
+    quota = quota.otherwise(F.lit(0))
+    salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_MIX_SALT_N)))
+    w1 = Window.partitionBy("lang", "_salt").orderBy(key.asc(), F.col("doc_id").asc())
+    local = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= quota)
+    )
+    w2 = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_MIX_QUOTA_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_QUOTAS.items())
+    + " ELSE 0 END"
+)
+
+ORACLE["mix_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_MIX_QUOTA_CASE}
 """
 
 
@@ -588,6 +739,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnowing": q_doc_winnowing,
+    "dedup_substring": q_dedup_substring,
+    "mix_sample": q_mix_sample,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

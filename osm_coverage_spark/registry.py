@@ -3,15 +3,53 @@
 Aggregates the per-family modules. Every entry in QUERIES has either a
 matching ORACLE entry (driver runs both and compares) or is a documented
 rows-only check (non-SQL-expressible op).
+
+The driver's correctness gate records the first 50 registry entries, so
+QUERIES is capped at 50: redundant variants of already-covered operator
+families are RETIRED from the driver surface (r4 verdict #1) but stay in
+their home module's QUERIES dict, where the per-family oracle tests
+(tests/test_oracle_*.py) keep running the identical Spark-vs-DuckDB
+check on them every session:
+
+- top_customers / tpch_q5 / tpch_q6 — the TPC-H family's agg + join +
+  top-k shapes are represented by tpch_q1 and tpch_q3; the full family
+  is oracle-verified in tests/test_oracle_tpch.py.
+- dedup_rows — subsumed by dedup_exact (same groupBy-hash dedup family).
+- list_specific_streets — same ad-hoc regex-probe family as
+  find_comma_suffixes.
+- image_tile_counts — a plain groupBy over image_tile_assign's output;
+  the count-aggregation family is covered by coverage_district_stats.
 """
 
 from __future__ import annotations
 
 from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch
 
+# Redundant family variants kept OUT of the 50-entry driver window but
+# still oracle-tested per-module (see module docstring).
+RETIRED = {
+    "top_customers",
+    "tpch_q5",
+    "tpch_q6",
+    "dedup_rows",
+    "list_specific_streets",
+    "image_tile_counts",
+}
+
+DRIVER_GATE_CAP = 50
+
 QUERIES = {}
 ORACLE = {}
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}
 
 for mod in (queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch):
-    QUERIES.update(mod.QUERIES)
-    ORACLE.update(mod.ORACLE)
+    for name, fn in mod.QUERIES.items():
+        (RETIRED_QUERIES if name in RETIRED else QUERIES)[name] = fn
+    for name, sql in mod.ORACLE.items():
+        (RETIRED_ORACLE if name in RETIRED else ORACLE)[name] = sql
+
+assert len(QUERIES) <= DRIVER_GATE_CAP, (
+    f"{len(QUERIES)} registry entries exceed the driver gate's "
+    f"{DRIVER_GATE_CAP}-row window; retire a redundant variant"
+)

@@ -269,3 +269,54 @@ def test_dedup_jaccard_single_shingle_scan(spark, sf_dir):
     assert n_scans <= 1 or n_reused >= 2, (
         f"scans={n_scans} reused={n_reused}\n" + plan
     )
+
+
+def test_mix_sample_salted_equals_direct_window(spark, sf_dir):
+    """The two-pass salted top-quota (bounded per-task sort) must produce
+    exactly the naive single-window result, ranks included."""
+    from pyspark.sql import Window
+
+    from osm_coverage_spark import queries_text as qt
+
+    got = sorted(map(tuple, qt.q_mix_sample(spark, sf_dir).collect()))
+    docs = spark.table("documents")
+    key = qt._mix_rank_key()
+    quota = None
+    for lang, q in qt.MIX_QUOTAS.items():
+        quota = (F.when(F.col("lang") == lang, F.lit(q)) if quota is None
+                 else quota.when(F.col("lang") == lang, F.lit(q)))
+    quota = quota.otherwise(F.lit(0))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    direct = sorted(map(tuple, (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    ).collect()))
+    assert got == direct and len(got) > 0
+
+
+def test_mix_sample_widest_sort_is_salted(spark, sf_dir):
+    """Plan shape: the first (full-data) window must partition by
+    (lang, salt) — no task ever sorts a whole stratum; the lang-only
+    window runs only on the quota-bounded survivors."""
+    from osm_coverage_spark import queries_text as qt
+
+    df = qt.q_mix_sample(spark, sf_dir)
+    plan = _plan(df)
+    # both window shapes present: salted first pass, lang-only second
+    assert "_salt" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_dedup_substring_no_all_pairs(spark, sf_dir):
+    """The winnowing consumer must pair docs only through the banded
+    self-join (equi-join on gram_hash + block id) — never a cartesian /
+    nested-loop expansion, with the hot-bucket block-split branch present."""
+    from osm_coverage_spark import queries_text as qt
+
+    df = qt.q_dedup_substring(spark, sf_dir)
+    df.collect()  # AQE finalizes only the executed DataFrame object
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_blk" in plan  # hot-bucket block-split branch is live
