@@ -23,6 +23,9 @@ Plan shape (SURVEY §4.3):
 
 from __future__ import annotations
 
+import weakref
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd  # noqa: F401  (pandas frames flow through refine)
 from pyspark.sql import DataFrame
@@ -54,20 +57,32 @@ def ray_cast_batch(px: np.ndarray, py: np.ndarray,
     return (crossings % 2) == 1
 
 
-_RINGS_CACHE: dict[tuple, object] = {}
+_RINGS_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_RINGS_CACHE_MAX = 8  # distinct polygon plans kept warm per session
 
 
 def _rings_broadcast(spark, polygons: DataFrame, poly_name: str):
     """name → [(vx, vy), ...] broadcast, cached per (SparkContext, plan
     semantic hash) so repeated pip_join invocations over the same polygon
-    plan reuse one broadcast variable instead of leaking one per call."""
+    plan reuse one broadcast variable instead of leaking one per call.
+
+    Bounded LRU (r4 verdict #4 / ADVICE): eviction unpersists the
+    broadcast, so a long session cycling through many distinct polygon
+    plans holds at most _RINGS_CACHE_MAX live broadcasts. A weakref to
+    the owning SparkContext guards against id() reuse after a context is
+    GC'd/stopped (ADVICE): a hit whose context is dead or different is
+    discarded, never served."""
     sc = spark.sparkContext
     try:
         key = (id(sc), polygons.semanticHash())
     except Exception:  # semanticHash unavailable → no caching
         key = None
     if key is not None and key in _RINGS_CACHE:
-        return _RINGS_CACHE[key]
+        bc, sc_ref = _RINGS_CACHE[key]
+        if sc_ref() is sc:
+            _RINGS_CACHE.move_to_end(key)
+            return bc
+        del _RINGS_CACHE[key]  # stale: id(sc) reused by a new context
     rings: dict[str, list] = {}
     for name, ring in polygons.select(poly_name, "ring").collect():
         rings.setdefault(name, []).append(
@@ -78,7 +93,13 @@ def _rings_broadcast(spark, polygons: DataFrame, poly_name: str):
         )
     bc = sc.broadcast(rings)
     if key is not None:
-        _RINGS_CACHE[key] = bc
+        _RINGS_CACHE[key] = (bc, weakref.ref(sc))
+        while len(_RINGS_CACHE) > _RINGS_CACHE_MAX:
+            _, (old, _ref) = _RINGS_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context already stopped — nothing to free
     return bc
 
 

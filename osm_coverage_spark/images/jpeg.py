@@ -225,6 +225,11 @@ def encode_jpeg(
     the DC predictors and byte-align the stream, making each interval
     independently decodable — the property real pipelines use for robust
     / parallel decode of a single large image."""
+    if qstep < 2:
+        # qstep=1 can yield AC magnitudes needing size 11; the Annex-K AC
+        # table has no run/size-11 symbols, so the Huffman code would be
+        # silently dropped (undecodable stream) — refuse up front (ADVICE)
+        raise ValueError(f"qstep must be >= 2 (Annex-K AC table), got {qstep}")
     h, w = arr.shape[:2]
     ph, pw = -h % 8, -w % 8
     if ph or pw:
@@ -331,6 +336,15 @@ def _entropy_encode(zz_all: np.ndarray, ncomp: int) -> bytes:
     rrem = run % 16
     size = _SIZE_LUT[np.abs(v)]
     sym = (rrem << 4) | size
+    if len(sym) and not aclen[sym].all():
+        # a zero-length code means the symbol is absent from the Annex-K
+        # AC table (magnitude size > 10) — an undecodable stream if
+        # silently packed (ADVICE); fail loudly instead
+        bad = sym[aclen[sym] == 0][0]
+        raise ValueError(
+            f"AC run/size symbol 0x{int(bad):02x} not in Annex-K table "
+            "(coefficient magnitude too large — lower qstep?)"
+        )
     vval = np.where(v > 0, v, v + (1 << size) - 1)
     ac_rows = (
         b_idx * slot_span + 4 * k,

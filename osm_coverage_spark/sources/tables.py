@@ -126,23 +126,46 @@ def read_table_at(spark: SparkSession, target: str,
     )
 
 
-def expire_snapshots(target: str, keep_last: int = 3) -> list[int]:
+def expire_snapshots(target: str, keep_last: int = 3,
+                     timeout_s: float = 5.0) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (Iceberg
-    `expireSnapshots` analog). Returns the expired ids."""
+    `expireSnapshots` analog). Returns the expired ids.
+
+    Holds the same ``__commitlock`` merge_upsert commits under while
+    rewriting the snapshot log (ADVICE r4): without it, a concurrent
+    merge appending a snapshot between our read and our os.replace would
+    have its log entry silently dropped (orphaned snapshot dir)."""
     import json
-    import shutil
-
-    log = _read_snaplog(target)
-    expired, kept = log[:-keep_last] if keep_last else log, log[-keep_last:] if keep_last else []
-    for e in expired:
-        shutil.rmtree(e["dir"], ignore_errors=True)
-    tmp = _snap_log(target) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(kept, f)
     import os
+    import shutil
+    import time
 
-    os.replace(tmp, _snap_log(target))
-    return [e["id"] for e in expired]
+    lock = f"{target}__commitlock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"expire_snapshots: commit lock {lock} busy > {timeout_s}s"
+                )
+            time.sleep(0.02)
+    try:
+        log = _read_snaplog(target)
+        expired = log[:-keep_last] if keep_last else log
+        kept = log[-keep_last:] if keep_last else []
+        for e in expired:
+            shutil.rmtree(e["dir"], ignore_errors=True)
+        tmp = _snap_log(target) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(kept, f)
+        os.replace(tmp, _snap_log(target))
+        return [e["id"] for e in expired]
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def _table_version(target: str) -> tuple[int, int]:

@@ -147,3 +147,17 @@ def test_jpeg_roundtrip_property(w, h, seed, caption, restart):
     assert dec.shape == arr.shape
     assert np.array_equal(dec, _transform_roundtrip(arr))
     assert cap == (caption if caption else "")
+
+
+def test_qstep_below_two_rejected():
+    """qstep=1 coefficients can need magnitude size 11, which the Annex-K
+    AC table cannot code — encode must refuse, not emit an undecodable
+    stream (r4 ADVICE)."""
+    import numpy as np
+    import pytest
+
+    from osm_coverage_spark.images import jpeg
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="qstep"):
+        jpeg.encode_jpeg(arr, qstep=1)

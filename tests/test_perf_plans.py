@@ -320,3 +320,35 @@ def test_dedup_substring_no_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_blk" in plan  # hot-bucket block-split branch is live
+
+
+def test_pip_rings_cache_bounded_lru(spark):
+    """Cycling through many distinct polygon plans must keep at most
+    _RINGS_CACHE_MAX live ring broadcasts (eviction unpersists) — the
+    r4 unbounded-growth finding."""
+    from osm_coverage_spark.geo import pip
+
+    pip._RINGS_CACHE.clear()
+    ring_schema = "name string, ring array<struct<lon double, lat double>>"
+    first = None
+    for i in range(pip._RINGS_CACHE_MAX + 4):
+        polys = spark.createDataFrame(
+            [(f"z{i}", [{"lon": float(i), "lat": 0.0},
+                        {"lon": float(i) + 1.0, "lat": 0.0},
+                        {"lon": float(i) + 1.0, "lat": 1.0},
+                        {"lon": float(i), "lat": 1.0}])],
+            ring_schema,
+        )
+        bc = pip._rings_broadcast(spark, polys, "name")
+        if first is None:
+            first = bc
+    assert len(pip._RINGS_CACHE) == pip._RINGS_CACHE_MAX
+    # the oldest entry was evicted AND unpersisted (value access fails or
+    # re-request builds a fresh broadcast object)
+    polys0 = spark.createDataFrame(
+        [("z0", [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 0.0},
+                 {"lon": 1.0, "lat": 1.0}, {"lon": 0.0, "lat": 1.0}])],
+        ring_schema,
+    )
+    again = pip._rings_broadcast(spark, polys0, "name")
+    assert again is not first

@@ -3,6 +3,8 @@
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from osm_coverage_spark.sources import tables
 
 
@@ -191,3 +193,31 @@ def test_snapshot_time_travel_reads(spark):
         assert rows(tables.read_table_at(spark, target, 2)) == [
             ("a", "2024-01-01", 2)
         ]
+
+
+def test_expire_snapshots_respects_commit_lock(spark, tmp_path):
+    """expire_snapshots must take the merge commit lock: a held lock
+    blocks (and times out) instead of silently racing the snapshot log
+    (r4 ADVICE — a concurrent merge's log entry could be lost)."""
+    import os
+
+    import pytest
+
+    from osm_coverage_spark.sources import tables
+
+    target = str(tmp_path / "t")
+    spark.range(5).withColumn("v", F.lit(1)).write.parquet(target)
+    tables.merge_upsert(
+        spark, target, spark.range(3).withColumn("v", F.lit(2)), ("id",)
+    )
+    lock = f"{target}__commitlock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with pytest.raises(TimeoutError):
+            tables.expire_snapshots(target, keep_last=0, timeout_s=0.2)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    # lock released -> expiry proceeds and empties the retained log
+    expired = tables.expire_snapshots(target, keep_last=0)
+    assert expired == [1] and tables.snapshots(target) == []
