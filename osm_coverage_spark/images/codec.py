@@ -34,10 +34,13 @@ def encode(arr: np.ndarray, caption: str, fmt: str) -> bytes:
     if fmt == "jpeg":
         from . import jpeg as _jpeg
 
-        # restart markers every 8 MCU rows: real-world robustness structure
+        # restart markers every 32 MCUs: real-world robustness structure
         # (independently decodable intervals), reconstruction-identical —
-        # the block-class oracle is unaffected by entropy framing
-        return _jpeg.encode_jpeg(arr, caption=caption, restart_rows=8)
+        # the block-class oracle is unaffected by entropy framing. Near-
+        # constant interval SIZE (vs whole rows) keeps the restart streams
+        # length-balanced, which the vectorized pool decoder's iteration
+        # count (= longest stream's symbol count) is bound by.
+        return _jpeg.encode_jpeg(arr, caption=caption, restart_mcus=32)
     if fmt == "png":
         from . import png as _png
 
@@ -62,6 +65,32 @@ def decode(data: bytes) -> tuple[np.ndarray, str, str]:
         arr, cap = _jpeg.decode_jpeg(data)
         return arr, cap, "jpeg"
     raise ValueError("neither PNG nor JPEG payload")
+
+
+def decode_batch(datas: list[bytes]) -> list[tuple[np.ndarray, str, str]]:
+    """Batch decode, index-aligned with the input — the hot path for
+    mapInPandas batches: all JPEGs in the batch share one vectorized
+    entropy-decode pool (restart intervals across ALL images advance in
+    lockstep, jpeg.decode_jpeg_batch), PNGs decode per-image (already
+    numpy-vectorized per row)."""
+    from . import jpeg as _jpeg
+    from . import png as _png
+
+    out: list = [None] * len(datas)
+    jidx = []
+    for i, d in enumerate(datas):
+        if _png.is_png(d):
+            arr = _png.decode_png(d)
+            out[i] = (arr, _png.read_texts(d).get("caption", ""), "png")
+        elif _jpeg.is_jpeg(d):
+            jidx.append(i)
+        else:
+            raise ValueError("neither PNG nor JPEG payload")
+    if jidx:
+        decoded = _jpeg.decode_jpeg_batch([datas[i] for i in jidx])
+        for i, (arr, cap) in zip(jidx, decoded):
+            out[i] = (arr, cap, "jpeg")
+    return out
 
 
 def decode_real(data: bytes):

@@ -213,7 +213,7 @@ def _marker(tag: int, payload: bytes) -> bytes:
 
 def encode_jpeg(
     arr: np.ndarray, caption: str = "", qstep: int = DEFAULT_QUANT,
-    restart_rows: int | None = None,
+    restart_rows: int | None = None, restart_mcus: int | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JPEG bytes (4:4:4, RGB via APP14).
 
@@ -244,7 +244,13 @@ def encode_jpeg(
     ]
     zz_all = np.stack(planes, axis=1).reshape(-1, 64).astype(np.int64)
     interval = 0
-    if restart_rows:
+    if restart_mcus:
+        # DRI is an MCU count (spec B.2.4.4) — any interval is legal, not
+        # just whole rows. Near-constant interval sizes keep the restart
+        # streams length-balanced, which the vectorized pool decoder's
+        # iteration count (= longest stream) depends on.
+        interval = restart_mcus
+    elif restart_rows:
         interval = (fw // 8) * restart_rows  # MCUs per restart interval
     if interval:
         chunks = []
@@ -407,8 +413,11 @@ def is_jpeg(data: bytes) -> bool:
 # Decoder
 # ---------------------------------------------------------------------------
 
-def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
-    """Baseline JPEG bytes → ((h, w, 3) uint8 RGB, caption from COM)."""
+def _parse_jpeg(data: bytes) -> dict:
+    """Parse all markers up to SOS → header metadata (tables kept as raw
+    (bits, vals) tuples so both the scalar peek-16 list and the numpy LUT
+    path can build their structures, and so pooled batch decode can group
+    images by table signature)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -448,8 +457,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
                 bits = tuple(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = tuple(body[off + 17 : off + 17 + n])
-                tab = _decode_table(bits, vals)
-                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = (bits, vals)
                 off += 17 + n
         elif tag == 0xC0:  # SOF0
             _, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -479,13 +487,46 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
     eoi = data.rfind(b"\xff\xd9")
     if eoi < 0:
         eoi = len(data)
-    entropy = data[scan_start:eoi].replace(b"\xff\x00", b"\xff")
-
     gh, gw = -(-fh // 8) * 8, -(-fw // 8) * 8  # padded block grid
-    ny, nx = gh // 8, gw // 8
-    n_blocks = ny * nx
+    n_blocks = (gh // 8) * (gw // 8)
+    return {
+        "qtabs": qtabs,
+        "dc_tabs": dc_tabs,
+        "ac_tabs": ac_tabs,
+        "caption": caption,
+        "fh": fh,
+        "fw": fw,
+        "gh": gh,
+        "gw": gw,
+        "n_blocks": n_blocks,
+        "restart_interval": restart_interval,
+        "comps": comps,
+        "scan_comps": scan_comps,
+        "scan_start": scan_start,
+        "eoi": eoi,
+        # pooling signature: images sharing component count + the exact
+        # Huffman table assignment can share one vectorized decode pool
+        "sig": (
+            len(scan_comps),
+            tuple((dc_tabs[d], ac_tabs[a]) for _, d, a in scan_comps),
+        ),
+    }
+
+
+def _entropy_scalar(data: bytes, meta: dict) -> list[np.ndarray]:
+    """Serial entropy decode (peek-16 LUT, inlined bit reader) of the whole
+    scan → per-component zigzag coefficient arrays (n_blocks, 64). The
+    right path for single images with few restart intervals, where the
+    vectorized pool's per-iteration numpy overhead would dominate."""
+    entropy = data[meta["scan_start"] : meta["eoi"]].replace(b"\xff\x00", b"\xff")
+    n_blocks = meta["n_blocks"]
+    restart_interval = meta["restart_interval"]
+    scan_comps = meta["scan_comps"]
     ncomp = len(scan_comps)
-    tabs = [(dc_tabs[d], ac_tabs[a]) for _, d, a in scan_comps]
+    tabs = [
+        (_decode_table(*meta["dc_tabs"][d]), _decode_table(*meta["ac_tabs"][a]))
+        for _, d, a in scan_comps
+    ]
 
     # hot loop: inlined bit reader (locals only — no method dispatch);
     # rows are collected as flat python lists and bulk-converted after.
@@ -562,15 +603,313 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
                 k += 1
             acc &= (1 << nbits) - 1  # keep the accumulator a small int
             rows[c].append(blk)
-    zz_out = [np.array(r, dtype=np.int32).reshape(-1, 64) for r in rows]
+    return [np.array(r, dtype=np.int32).reshape(-1, 64) for r in rows]
 
+
+def _reconstruct(meta: dict, zz_out: list[np.ndarray]) -> np.ndarray:
+    """Per-component zigzag coefficients → (fh, fw, 3) pixels (dequant +
+    vectorized IDCT + crop to the true SOF0 dimensions)."""
+    gh, gw, n_blocks = meta["gh"], meta["gw"], meta["n_blocks"]
     planes = []
-    for c in range(ncomp):
+    for c in range(len(meta["scan_comps"])):
         nat = np.zeros((n_blocks, 64), dtype=np.int32)
         nat[:, ZZ] = zz_out[c]
-        qtab = qtabs[comps[c][1]]
+        qtab = meta["qtabs"][meta["comps"][c][1]]
         coef = (nat * qtab).reshape(-1, 8, 8).astype(np.float64)
         pix = _A.T @ coef @ _A + 128.0
         blocks = np.clip(np.round(pix), 0.0, 255.0).astype(np.uint8)
         planes.append(_from_blocks(blocks, gh, gw))
-    return np.stack(planes, axis=-1)[:fh, :fw], caption
+    return np.stack(planes, axis=-1)[: meta["fh"], : meta["fw"]]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized entropy decode (r4 verdict #5)
+#
+# Huffman decode is serial WITHIN a stream (the next code's position
+# depends on this code's length), but restart intervals are byte-aligned,
+# DC-reset, independently decodable streams — and a mapInPandas batch
+# holds many images. So: split every scan at its RSTn markers, pool the
+# intervals of ALL images in the batch (grouped by Huffman-table
+# signature), and advance EVERY stream one symbol per iteration with
+# whole-pool numpy gathers. Per-symbol Python cost drops from ~10
+# interpreted ops to ~35 numpy ops / pool_size.
+# ---------------------------------------------------------------------------
+
+_NP_DECODE_CACHE: dict[tuple, tuple] = {}
+_VEC_MIN_STREAMS = 8  # below this the scalar loop wins
+
+
+def _np_decode_table(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+    """65536-entry numpy peek tables: top-16-bits → (symbol, code length).
+    length 0 marks an invalid prefix (unassigned code point)."""
+    key = (tuple(bits), tuple(vals))
+    ent = _NP_DECODE_CACHE.get(key)
+    if ent is None:
+        sym = np.zeros(65536, dtype=np.uint8)
+        ln = np.zeros(65536, dtype=np.uint8)
+        for s, (code, length) in _canonical_codes(bits, vals).items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = s
+            ln[base : base + span] = length
+        _NP_DECODE_CACHE[key] = ent = (sym, ln)
+    return ent
+
+
+def _split_streams(data: bytes, meta: dict) -> tuple[list[np.ndarray], list[int]]:
+    """Scan segment → per-restart-interval destuffed byte buffers + MCU
+    counts. RSTn markers are byte-aligned and cannot occur inside entropy
+    data (a data 0xFF is always stuffed as FF 00), so a byte-level scan
+    finds exactly the interval boundaries."""
+    stuffed = np.frombuffer(
+        data[meta["scan_start"] : meta["eoi"]], dtype=np.uint8
+    )
+    n_blocks, ri = meta["n_blocks"], meta["restart_interval"]
+    if ri:
+        m = np.nonzero(
+            (stuffed[:-1] == 0xFF) & (stuffed[1:] >= 0xD0) & (stuffed[1:] <= 0xD7)
+        )[0]
+        expected = -(-n_blocks // ri)
+        if len(m) + 1 != expected:
+            raise ValueError(
+                f"restart marker count mismatch: {len(m)} markers for "
+                f"{n_blocks} MCUs at interval {ri}"
+            )
+        starts = [0] + [int(x) + 2 for x in m]
+        ends = [int(x) for x in m] + [len(stuffed)]
+        pieces = [stuffed[s:e] for s, e in zip(starts, ends)]
+        nm = [ri] * (expected - 1) + [n_blocks - ri * (expected - 1)]
+    else:
+        pieces, nm = [stuffed], [n_blocks]
+    bufs = [
+        np.frombuffer(p.tobytes().replace(b"\xff\x00", b"\xff"), dtype=np.uint8)
+        for p in pieces
+    ]
+    return bufs, nm
+
+
+def _pool_decode(
+    bufs: list[np.ndarray],
+    nmcu_list: list[int],
+    dcrow: np.ndarray,
+    acrow: np.ndarray,
+    ncomp: int,
+    SYM: np.ndarray,
+    LEN: np.ndarray,
+) -> list[np.ndarray]:
+    """Decode a pool of independent entropy streams in lockstep.
+
+    bufs[i]: destuffed bytes of stream i; nmcu_list[i]: MCUs it encodes;
+    dcrow/acrow: (S, ncomp) row indices into the stacked LUTs SYM/LEN
+    ((T, 65536) uint8). Returns per stream an (nmcu*ncomp, 64) int32 array
+    of zigzag coefficients in MCU-interleaved order (row m*ncomp + c).
+
+    One iteration decodes ONE (code, value) pair for every active stream:
+    16-bit peek gather → stacked-LUT symbol lookup → value-bit extract →
+    sign-extend → one scatter into the flat output — all whole-pool
+    numpy. Streams that finish are compacted out.
+
+    Vectorization tricks (each collapses several ops/branches):
+    - packed position state ``state = (blk*ncomp + comp)*64 + k``: the
+      natural-carry of k past 63 advances comp/blk for free, EOB is
+      ``(state | 63) + 1``, ZRL is ``state + 16`` (run 15 + 1), and the
+      output slot of ANY symbol is just ``obase + state + run``;
+    - EOB/ZRL/DC all write val (0 / 0 / dc-diff) through the same scatter
+      — writing a 0 at a not-yet-reached slot of a zeroed buffer is a
+      no-op, so no branch masks;
+    - DC coefficients store the DIFF; predictors are restored after the
+      loop by one cumsum per stream (restart streams reset preds anyway).
+    """
+    S = len(bufs)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    # 8 bytes of 0xFF padding after each stream: refills past the end read
+    # all-ones, exactly like the scalar reader's `else 0xFF` tail
+    soff = np.zeros(S, dtype=np.int64)
+    soff[1:] = np.cumsum(lens + 8)[:-1]
+    total = int((lens + 8).sum())
+    B = np.full(total + 8, 0xFF, dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        B[soff[i] : soff[i] + lens[i]] = b
+    B64 = B.astype(np.int64)
+    # u32[j] = bytes j..j+3 big-endian: 16-bit peek at bit p of stream i is
+    # (u32[soff+(p>>3)] >> (16 - (p&7))) & 0xFFFF; a size<=11 value at p is
+    # (u32[...] >> (32 - (p&7) - size)) & mask  (7 + 11 <= 32 always fits)
+    u32 = (B64[:-3] << 24) | (B64[1:-2] << 16) | (B64[2:-1] << 8) | B64[3:]
+
+    nmcu = np.asarray(nmcu_list, dtype=np.int64)
+    out_sizes = nmcu * ncomp * 64
+    obase = np.zeros(S, dtype=np.int64)
+    obase[1:] = np.cumsum(out_sizes)[:-1]
+    out = np.zeros(int(out_sizes.sum()) + 16, dtype=np.int64)  # +16: corrupt-stream slack
+
+    dcrow = np.asarray(dcrow, np.int64)
+    acrow = np.asarray(acrow, np.int64)
+    uniform = (
+        len(np.unique(dcrow[0])) == 1 and len(np.unique(acrow[0])) == 1
+        and (dcrow == dcrow[0, 0]).all() and (acrow == acrow[0, 0]).all()
+    )
+    if uniform:
+        # single DC + single AC table for the whole pool (the ubiquitous
+        # case): stack [AC, DC] so the bool isdc indexes the row directly
+        SL2_SYM = np.stack(
+            [SYM[acrow[0, 0]], SYM[dcrow[0, 0]]]
+        ).astype(np.int64)
+        SL2_LEN = np.stack(
+            [LEN[acrow[0, 0]], LEN[dcrow[0, 0]]]
+        ).astype(np.int64)
+    else:
+        SYM = SYM.astype(np.int64)
+        LEN = LEN.astype(np.int64)
+
+    bitpos = soff * 8  # ABSOLUTE bit position in the pooled buffer
+    state = np.zeros(S, dtype=np.int64)  # (blk*ncomp + comp)*64 + k
+    a_ob = obase.copy()
+    a_end = out_sizes.copy()  # finished when state >= nmcu*ncomp*64
+    a_dc, a_ac = dcrow.copy(), acrow.copy()
+    one = np.int64(1)
+    max_iters = 8 * total + 64  # >= 1 bit consumed per iteration per stream
+    it = 0
+    while len(state):
+        it += 1
+        if it > max_iters:
+            raise ValueError("jpeg entropy decode did not terminate")
+        pk = (u32[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
+        isdc = (state & 63) == 0
+        if uniform:
+            trow = isdc.view(np.int8)
+            sym = SL2_SYM[trow, pk]
+            ln = SL2_LEN[trow, pk]
+        else:
+            comp = (state >> 6) % ncomp
+            ar = np.arange(len(state))
+            trow = np.where(isdc, a_dc[ar, comp], a_ac[ar, comp])
+            sym = SYM[trow, pk]
+            ln = LEN[trow, pk]
+        if not ln.all():
+            raise ValueError("invalid Huffman code in scan")
+        p = bitpos + ln
+        sz = np.where(isdc, sym, sym & 0x0F)  # EOB 0x00/ZRL 0xF0 → 0
+        mask = (one << sz) - 1
+        raw = (u32[p >> 3] >> (32 - (p & 7) - sz)) & mask
+        bitpos = p + sz
+        half = (mask + 1) >> 1  # 2^(sz-1), or 0 when sz == 0
+        val = raw - (raw < half) * mask
+        run = sym >> 4  # DC sym <= 15 → run 0; EOB → 0; ZRL → 15
+        # one unmasked scatter covers every case: AC coef writes val at
+        # slot k+run, DC writes its diff at slot 0, EOB/ZRL write a 0 at a
+        # not-yet-reached slot of a zeroed block (no-op). Valid streams
+        # never produce k+run > 63; corrupt ones land in the +16 slack.
+        out[a_ob + state + run] = val
+        iseob = (~isdc) & (sym == 0x00)
+        state = np.where(
+            iseob, (state | 63) + 1, state + run + 1
+        )  # DC: +1 (k=1); AC/ZRL: k+run+1 with natural carry past 63
+        fin = state >= a_end
+        if fin.any():
+            keep = ~fin
+            bitpos, state = bitpos[keep], state[keep]
+            a_ob, a_end = a_ob[keep], a_end[keep]
+            if not uniform:
+                a_dc, a_ac = a_dc[keep], a_ac[keep]
+    res = []
+    for i in range(S):
+        zz = out[obase[i] : obase[i] + out_sizes[i]].reshape(-1, 64)
+        dc = zz[:, 0].copy().reshape(int(nmcu[i]), ncomp)
+        np.cumsum(dc, axis=0, out=dc)  # restore DC predictors from diffs
+        zz[:, 0] = dc.reshape(-1)
+        res.append(zz.astype(np.int32))
+    return res
+
+
+def _zz_by_comp(stream_zz: list[np.ndarray], ncomp: int) -> list[np.ndarray]:
+    """Concatenate a single image's interval outputs (MCU-interleaved rows)
+    and slice per component — the layout _reconstruct expects."""
+    allz = np.concatenate(stream_zz, axis=0) if len(stream_zz) > 1 else stream_zz[0]
+    return [allz[c::ncomp] for c in range(ncomp)]
+
+
+def _decode_pooled(datas: list[bytes], metas: list[dict],
+                   members: list[int]) -> dict[int, list[np.ndarray]]:
+    """Vector-decode the images `members` (identical table signature) as
+    one pool → image index → per-comp zigzag arrays."""
+    ncomp = metas[members[0]]["sig"][0]
+    # stacked LUT rows for the distinct tables of this signature
+    tab_keys: list[tuple] = []
+
+    def row_of(key: tuple) -> int:
+        if key not in tab_keys:
+            tab_keys.append(key)
+        return tab_keys.index(key)
+
+    m0 = metas[members[0]]
+    dcrow1 = [row_of(m0["dc_tabs"][d]) for _, d, _a in m0["scan_comps"]]
+    acrow1 = [row_of(m0["ac_tabs"][a]) for _, _d, a in m0["scan_comps"]]
+    SYM = np.stack([_np_decode_table(*kk)[0] for kk in tab_keys])
+    LEN = np.stack([_np_decode_table(*kk)[1] for kk in tab_keys])
+
+    bufs: list[np.ndarray] = []
+    nm: list[int] = []
+    spans: list[tuple[int, int, int]] = []  # (img, first_stream, n_streams)
+    for i in members:
+        b, n = _split_streams(datas[i], metas[i])
+        spans.append((i, len(bufs), len(b)))
+        bufs.extend(b)
+        nm.extend(n)
+    Sn = len(bufs)
+    dcrow = np.tile(np.array(dcrow1, np.int64), (Sn, 1))
+    acrow = np.tile(np.array(acrow1, np.int64), (Sn, 1))
+    stream_zz = _pool_decode(bufs, nm, dcrow, acrow, ncomp, SYM, LEN)
+    return {
+        i: _zz_by_comp(stream_zz[s0 : s0 + ns], ncomp)
+        for i, s0, ns in spans
+    }
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, str]:
+    """Baseline JPEG bytes → ((h, w, 3) uint8 RGB, caption from COM).
+
+    Images with enough restart intervals decode through the vectorized
+    pool; otherwise the scalar loop (faster for small stream counts).
+    Prefer ``decode_jpeg_batch`` for many images — it pools intervals
+    across the whole batch."""
+    meta = _parse_jpeg(data)
+    ncomp = len(meta["scan_comps"])
+    n_streams = (
+        -(-meta["n_blocks"] // meta["restart_interval"])
+        if meta["restart_interval"]
+        else 1
+    )
+    if n_streams >= _VEC_MIN_STREAMS:
+        zz = _decode_pooled([data], [meta], [0])[0]
+    else:
+        zz = _entropy_scalar(data, meta)
+    assert len(zz) == ncomp
+    return _reconstruct(meta, zz), meta["caption"]
+
+
+def decode_jpeg_batch(datas: list[bytes]) -> list[tuple[np.ndarray, str]]:
+    """Decode many JPEGs at once: restart intervals of ALL images (grouped
+    by Huffman-table signature) form one vectorized decode pool, so the
+    per-symbol Python cost is shared across the whole batch. Results are
+    index-aligned with the input."""
+    metas = [_parse_jpeg(d) for d in datas]
+    groups: dict[tuple, list[int]] = {}
+    for i, m in enumerate(metas):
+        groups.setdefault(m["sig"], []).append(i)
+    zz_all: dict[int, list[np.ndarray]] = {}
+    for members in groups.values():
+        n_streams = sum(
+            -(-metas[i]["n_blocks"] // metas[i]["restart_interval"])
+            if metas[i]["restart_interval"]
+            else 1
+            for i in members
+        )
+        if n_streams >= _VEC_MIN_STREAMS:
+            zz_all.update(_decode_pooled(datas, metas, members))
+        else:
+            for i in members:
+                zz_all[i] = _entropy_scalar(datas[i], metas[i])
+    return [
+        (_reconstruct(metas[i], zz_all[i]), metas[i]["caption"])
+        for i in range(len(datas))
+    ]

@@ -78,11 +78,11 @@ def decode_verify_int(images_with_bytes: DataFrame) -> DataFrame:
     def verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for iid, data, w, h, fmt, cap in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+            decoded = codec.decode_batch([bytes(d) for d in pdf["bytes"]])
+            for iid, (arr, dec_cap, dec_fmt), w, h, fmt, cap in zip(
+                pdf["image_id"], decoded, pdf["w"], pdf["h"], pdf["fmt"],
                 pdf["caption"],
             ):
-                arr, dec_cap, dec_fmt = codec.decode(bytes(data))
                 truth = codec.synth_pixels(iid, int(w), int(h))
                 d = arr.astype(np.int64)
                 sse = int(((d - truth.astype(np.int64)) ** 2).sum())
@@ -148,8 +148,8 @@ def extract_features_int(images_with_bytes: DataFrame) -> DataFrame:
     def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
-                arr, _, _ = codec.decode(bytes(data))
+            decoded = codec.decode_batch([bytes(d) for d in pdf["bytes"]])
+            for iid, (arr, _, _) in zip(pdf["image_id"], decoded):
                 ah, total = _ahash63(arr)
                 rows.append((iid, ah, total))
             yield pd.DataFrame(rows, columns=["image_id", "ahash", "gray3_total"])
@@ -206,8 +206,8 @@ def make_video_container(
     def pack_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
-            for data in pdf["bytes"]:
-                arr, _, _ = codec.decode(bytes(data))
+            decoded = codec.decode_batch([bytes(d) for d in pdf["bytes"]])
+            for arr, _, _ in decoded:
                 ny = arr.shape[0] // 8
                 strips = [
                     arr[(k * ny // n_frames) * 8 : ((k + 1) * ny // n_frames) * 8]

@@ -168,6 +168,45 @@ def expire_snapshots(target: str, keep_last: int = 3,
         os.unlink(lock)
 
 
+def current_version(target: str) -> int:
+    """State-version of the LIVE table: snapshot id v retains the state
+    BEFORE commit v, so after k commits the live state is version k+1
+    (and version 1 before any commit)."""
+    log = _read_snaplog(target)
+    return (log[-1]["id"] + 1) if log else 1
+
+
+def read_changes(
+    spark: SparkSession,
+    target: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Iceberg changelog (incremental read / CDC) analog: the row-level
+    diff between two retained state versions, as the source rows plus a
+    ``_change_type`` column ('insert' | 'delete'; an update appears as a
+    delete of the old row + an insert of the new one — Iceberg's
+    pre/post-image pair). ``to_version=None`` diffs against the live
+    table.
+
+    The stand-in computes the diff with two multiset ``exceptAll``s over
+    the retained snapshot directories (raises if ``from_version`` was
+    expired); real Iceberg derives the same rows from manifest metadata
+    without scanning both states — call sites written against this
+    contract swap over with table identifiers alone."""
+    if to_version is None:
+        to_version = current_version(target)
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} is newer than to_version {to_version}"
+        )
+    old = read_table_at(spark, target, from_version)
+    new = read_table_at(spark, target, to_version)
+    ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def _table_version(target: str) -> tuple[int, int]:
     """Commit token of the parquet stand-in: the target directory's inode +
     mtime. Every committed swap replaces the directory (rename), so a
