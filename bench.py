@@ -43,8 +43,14 @@ DEFAULT_BENCH = [
 ]
 
 
+def _query(name: str):
+    # retired registry entries (driver-gate cap) stay benchable so the
+    # headline set remains comparable across rounds
+    return registry.QUERIES.get(name) or registry.RETIRED_QUERIES[name]
+
+
 def run_once(spark, name: str, sf_dir: str, repeats: int) -> float:
-    df = registry.QUERIES[name](spark, sf_dir)
+    df = _query(name)(spark, sf_dir)
 
     def mat() -> float:
         t0 = time.perf_counter()
@@ -65,7 +71,8 @@ def run_once(spark, name: str, sf_dir: str, repeats: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    bench = names.split(",") if names else [q for q in DEFAULT_BENCH if q in registry.QUERIES]
+    known = set(registry.QUERIES) | set(registry.RETIRED_QUERIES)
+    bench = names.split(",") if names else [q for q in DEFAULT_BENCH if q in known]
 
     # sandbox parquet is single-row-group: without a re-split every scan
     # is one task no matter how many cores (see sources/derived.py)
@@ -76,12 +83,31 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in bench:
         try:
-            registry.QUERIES[name](spark, warm_dir).write.mode(
+            _query(name)(spark, warm_dir).write.mode(
                 "overwrite").format("noop").save()
         except Exception as exc:  # never let warmup kill the bench
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Same-session weather calibration (r4 verdict #3): the recorded
+    # artifact carries a fixed-size JVM-burn timing measured by the SAME
+    # session that produced the query timings. The burn is pure
+    # whole-stage-codegen compute (zero input / shuffle), so its time
+    # moves ONLY with delivered host capacity (observed ±25% between
+    # sessions) — a round whose queries look 1.3x slower while its
+    # calibration is 1.3x slower is weather, not regression.
+    from osm_coverage_spark import queries_scaling
+
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        queries_scaling.scale_jvm_burn(spark, sf_dir, mult=1500).write.mode(
+            "overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    _calibrate()  # untimed JIT warm
+    calibration = round(min(_calibrate() for _ in range(2)), 3)
+    print(f"  calibration jvm_burn: {calibration:.2f}s", file=sys.stderr)
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in bench:
         timings[name] = round(run_once(spark, name, sf_dir, repeats), 3)
@@ -94,6 +120,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_jvm_burn_sec": calibration,
     }
     print(json.dumps(out))
 

@@ -828,10 +828,40 @@ def _zz_by_comp(stream_zz: list[np.ndarray], ncomp: int) -> list[np.ndarray]:
     return [allz[c::ncomp] for c in range(ncomp)]
 
 
+_POOL_MAX_STREAMS = 1024  # swept: 256→0.96, 1024→2.70, 4096→0.86 Mpx/s
+
+
 def _decode_pooled(datas: list[bytes], metas: list[dict],
                    members: list[int]) -> dict[int, list[np.ndarray]]:
     """Vector-decode the images `members` (identical table signature) as
-    one pool → image index → per-comp zigzag arrays."""
+    one pool → image index → per-comp zigzag arrays.
+
+    Pools are chunked at ~_POOL_MAX_STREAMS streams — a measured optimum:
+    smaller chunks repeat the per-stream iteration chain per chunk
+    (256 → 0.96 Mpx/s), larger ones push the peek/scatter gathers out of
+    cache (4096 → 0.86 Mpx/s); 1024 hits 2.7 Mpx/s (~3x scalar) on the
+    corpus size mix."""
+    out: dict[int, list[np.ndarray]] = {}
+    chunk: list[int] = []
+    n_streams = 0
+    for i in members:
+        s = (
+            -(-metas[i]["n_blocks"] // metas[i]["restart_interval"])
+            if metas[i]["restart_interval"]
+            else 1
+        )
+        if chunk and n_streams + s > _POOL_MAX_STREAMS:
+            out.update(_decode_pool_chunk(datas, metas, chunk))
+            chunk, n_streams = [], 0
+        chunk.append(i)
+        n_streams += s
+    if chunk:
+        out.update(_decode_pool_chunk(datas, metas, chunk))
+    return out
+
+
+def _decode_pool_chunk(datas: list[bytes], metas: list[dict],
+                       members: list[int]) -> dict[int, list[np.ndarray]]:
     ncomp = metas[members[0]]["sig"][0]
     # stacked LUT rows for the distinct tables of this signature
     tab_keys: list[tuple] = []
