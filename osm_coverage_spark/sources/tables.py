@@ -202,6 +202,17 @@ def read_changes(
         )
     old = read_table_at(spark, target, from_version)
     new = read_table_at(spark, target, to_version)
+    if set(old.columns) != set(new.columns):
+        # schema evolved between the versions: diff on the superset
+        # schema, missing columns as NULL (a row whose new column is
+        # non-NULL correctly shows up as delete(pre) + insert(post))
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        for c in old.columns:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+        new = new.select(*old.columns)
     ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return ins.unionByName(dels)
@@ -224,6 +235,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     max_retries: int = 5,
+    evolve_schema: bool = False,
 ) -> None:
     """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.
 
@@ -235,7 +247,15 @@ def merge_upsert(
     lock before the swap, and a concurrent commit triggers a re-read +
     re-merge retry instead of a lost update. Last-writer-wins applies only
     per conflicting key (exactly MERGE semantics); non-conflicting rows
-    from a concurrent commit survive."""
+    from a concurrent commit survive.
+
+    ``evolve_schema``: Iceberg ``mergeSchema`` analog — updates may carry
+    NEW columns (existing rows get NULL there) and may omit existing
+    non-key columns (inserted/updated rows get NULL there). Retained
+    snapshots keep their own (pre-evolution) schema, exactly like
+    Iceberg's per-snapshot schema id; read_changes aligns the two schemas
+    before diffing. Off by default: an unexpected schema mismatch should
+    fail loudly, not silently widen the table."""
     if iceberg_available(spark) and "." in target:
         updates.createOrReplaceTempView("_merge_src")
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
@@ -253,10 +273,16 @@ def merge_upsert(
     for _ in range(max_retries):
         ver = _table_version(target)
         current = read_table(spark, target)
+        if not evolve_schema and set(updates.columns) != set(current.columns):
+            raise ValueError(
+                f"merge_upsert schema mismatch (target {current.columns} vs "
+                f"updates {updates.columns}); pass evolve_schema=True to "
+                "widen the table"
+            )
         keep = current.join(
             updates.select(*key_cols), list(key_cols), "left_anti"
         )
-        merged = keep.unionByName(updates)
+        merged = keep.unionByName(updates, allowMissingColumns=evolve_schema)
         token = uuid.uuid4().hex[:8]
         tmp = f"{target}__merge_{token}"
         bak = f"{target}__bak_{token}"

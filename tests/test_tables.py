@@ -282,3 +282,39 @@ def test_changelog_roundtrip_history_upsert(spark, tmp_path):
     # nothing new -> noop
     assert incremental.sync_incremental(spark, target, mirror, control)[
         "mode"] == "noop"
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Iceberg mergeSchema analog: evolve_schema=True lets updates carry a
+    new column (old rows → NULL), the default rejects mismatches loudly,
+    retained snapshots keep their pre-evolution schema, and read_changes
+    diffs across the boundary on the superset schema."""
+    import pytest
+
+    target = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [("a", "2026-01-01", 1)], "name string, date string, n int"
+    ).write.parquet(target)
+    wide = spark.createDataFrame(
+        [("b", "2026-01-01", 2, "extra")],
+        "name string, date string, n int, note string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tables.merge_upsert(spark, target, wide, ("name", "date"))
+    tables.merge_upsert(spark, target, wide, ("name", "date"),
+                        evolve_schema=True)
+    rows = {r["name"]: r for r in tables.read_table(spark, target).collect()}
+    assert rows["a"]["note"] is None and rows["b"]["note"] == "extra"
+    # snapshot keeps the old schema; changelog spans the evolution
+    assert "note" not in tables.read_table_at(spark, target, 1).columns
+    ch = {(r["_change_type"], r["name"], r["note"])
+          for r in tables.read_changes(spark, target, 1, 2).collect()}
+    assert ch == {("insert", "b", "extra")}
+    # narrower updates also merge under evolution (missing col → NULL)
+    narrow = spark.createDataFrame(
+        [("a", "2026-01-01", 9)], "name string, date string, n int"
+    )
+    tables.merge_upsert(spark, target, narrow, ("name", "date"),
+                        evolve_schema=True)
+    rows = {r["name"]: r for r in tables.read_table(spark, target).collect()}
+    assert rows["a"]["n"] == 9 and rows["a"]["note"] is None
