@@ -700,37 +700,90 @@ def _mix_rank_key():
     return F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
 
 
+def _stratified_quota(
+    df: DataFrame, stratum: str, quota: F.Column, key_prefix: str
+) -> DataFrame:
+    """Deterministic per-stratum top-quota under a hash order, scale-safe.
+
+    A naive row_number over Window.partitionBy(stratum) hands an ENTIRE
+    stratum ('en' is ~40% of a 100 TB corpus) to one task. Instead:
+    pass 1 takes the per-(stratum, salt) local top-quota (16-way salted —
+    each task sorts ~1/16th of a stratum and emits <= quota rows); pass 2
+    ranks only the <= 16*quota survivors per stratum. Global top-quota
+    rows are each in their salt-partition's local top-quota, so the
+    result — and the final rank — is provably identical to the direct
+    window (pytest asserts equality), while the widest per-task sort is
+    bounded. Appends column ``rk``."""
+    key = F.md5(F.concat(F.lit(key_prefix), F.col("doc_id").cast("string")))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_MIX_SALT_N))
+    )
+    w1 = Window.partitionBy(stratum, "_salt").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    local = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= quota)
+    )
+    w2 = Window.partitionBy(stratum).orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= quota)
+        .drop("_salt", "_lr")
+    )
+
+
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted training-mix sample: top-quota rows per language stratum
-    under a deterministic hash order.
-
-    Scale shape: a naive row_number over Window.partitionBy(lang) hands an
-    ENTIRE stratum ('en' is ~40% of a 100 TB corpus) to one task. Instead:
-    pass 1 takes the per-(lang, salt) local top-quota (16-way salted — each
-    task sorts ~1/16th of a stratum and emits <= quota rows); pass 2 ranks
-    only the <= 16*quota survivors per stratum. Global top-quota rows are
-    each in their salt-partition's local top-quota, so the result — and
-    the final rank — is provably identical to the direct window (pytest
-    asserts equality), while the widest per-task sort is bounded."""
+    under a deterministic hash order (see _stratified_quota for the
+    scale-safe two-pass shape)."""
     derived.register_derived_views(spark, sf_dir)
     docs = spark.table("documents")
-    key = _mix_rank_key()
     quota = None
     for lang, q in MIX_QUOTAS.items():
         cond = F.when(F.col("lang") == lang, F.lit(q))
         quota = cond if quota is None else quota.when(F.col("lang") == lang, F.lit(q))
     quota = quota.otherwise(F.lit(0))
-    salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_MIX_SALT_N)))
-    w1 = Window.partitionBy("lang", "_salt").orderBy(key.asc(), F.col("doc_id").asc())
-    local = (
-        salted.withColumn("_lr", F.row_number().over(w1))
-        .filter(F.col("_lr") <= quota)
+    out = _stratified_quota(docs, "lang", quota, "mix|")
+    return out.select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+
+
+MIXA_QUALITY_TAU = 0.1  # quality_score gate (median of the corpus ~0.108)
+# per-domain weights: even-numbered sources upsampled 2x (dialect-shared)
+_MIXA_QUOTA_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 8 ELSE 4 END"
+)
+
+
+def q_mix_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-mix assembly — the curation chain a 100 TB
+    pipeline ships, as ONE declarative plan: (1) exact-dedup survivors
+    (min-doc_id keeper per md5(text) group, window form — no join),
+    (2) quality gate (the q_text_quality score >= MIXA_QUALITY_TAU),
+    (3) per-SOURCE weighted quotas (even-numbered domains upsampled 2x)
+    via the same scale-safe two-pass stratified sampler as mix_sample.
+    Output: (doc_id, source, lang, rk) — the reproducible mix manifest.
+
+    Driver-gate note: the registry is capped at 50 recorded entries, so
+    this composite lives in the RETIRED set — oracle parity runs in
+    tests/test_oracle_text.py instead (same check, same sf)."""
+    docs = _docs(spark, sf_dir)
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    surv = (
+        docs.withColumn("_keep", keeper)
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
     )
-    w2 = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
-    return (
-        local.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= quota)
-        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    w = T.words_expr(F.col("text"))
+    n_words = F.size(w)
+    stop_ratio = T.stopword_count_expr(w) / n_words.cast("double")
+    score = F.round(
+        stop_ratio * 0.4 + F.least(n_words, F.lit(400)) / F.lit(400.0) * 0.6, 6
+    )
+    gated = surv.filter(score >= MIXA_QUALITY_TAU)
+    out = _stratified_quota(gated, "source", F.expr(_MIXA_QUOTA_SQL), "mixa|")
+    return out.select(
+        "doc_id", "source", "lang", F.col("rk").cast("int").alias("rk")
     )
 
 
@@ -739,6 +792,33 @@ _MIX_QUOTA_CASE = (
     + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_QUOTAS.items())
     + " ELSE 0 END"
 )
+
+ORACLE["mix_assembly"] = f"""{_D},
+surv AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM docs_dup
+  ) WHERE doc_id = keeper
+),
+base AS (SELECT doc_id, lang, source, {_WORDS} AS w FROM surv),
+gated AS (
+  SELECT doc_id, lang, source FROM base
+  WHERE round(len(list_filter(w, x -> x IN {_STOP_IN}))
+              / CAST(len(w) AS DOUBLE) * 0.4
+        + least(len(w), 400) / 400.0 * 0.6, 6) >= {MIXA_QUALITY_TAU}
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mixa|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM gated
+)
+SELECT doc_id, source, lang, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_MIXA_QUOTA_SQL}
+"""
 
 ORACLE["mix_sample"] = f"""
 WITH ranked AS (
@@ -763,6 +843,7 @@ QUERIES = {
     "doc_winnowing": q_doc_winnowing,
     "dedup_substring": q_dedup_substring,
     "mix_sample": q_mix_sample,
+    "mix_assembly": q_mix_assembly,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

@@ -19,6 +19,9 @@ check on them every session:
   find_comma_suffixes.
 - image_tile_counts — a plain groupBy over image_tile_assign's output;
   the count-aggregation family is covered by coverage_district_stats.
+- mix_assembly — the dedup → quality-gate → weighted-quota composite of
+  three already-recorded families (dedup_exact, text_quality,
+  mix_sample); added r5 straight into the retired (module-tested) set.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 # Redundant family variants kept OUT of the 50-entry driver window but
 # still oracle-tested per-module (see module docstring).
 RETIRED = {
+    "mix_assembly",
     "top_customers",
     "tpch_q5",
     "tpch_q6",
