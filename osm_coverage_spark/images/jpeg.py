@@ -173,14 +173,27 @@ for _i in range(1, 4097):
     _SIZE_LUT[_i] = int(_i).bit_length()
 
 
+_CODE_LUT_CACHE: dict[tuple, tuple] = {}
+
+
 def _code_luts(bits, vals, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """symbol-indexed (code, length) arrays for vectorized emission."""
-    codes = np.zeros(n, dtype=np.uint32)
-    lens = np.zeros(n, dtype=np.int64)
-    for sym, (code, length) in _canonical_codes(bits, vals).items():
-        codes[sym] = code
-        lens[sym] = length
-    return codes, lens
+    """symbol-indexed (code, length) arrays for vectorized emission.
+    Cached: the per-restart-interval encode loop calls this per segment
+    (~43x per 296-px image), and a rebuild costs more than the lookup.
+    A single-pass segmented encoder was tried and REJECTED: one
+    whole-image emission table falls out of cache and measured 2.2 s vs
+    1.0 s for the per-interval loop on 20 296-px images — the small
+    per-call arrays are cache-hot."""
+    key = (tuple(bits), tuple(vals), n)
+    ent = _CODE_LUT_CACHE.get(key)
+    if ent is None:
+        codes = np.zeros(n, dtype=np.uint32)
+        lens = np.zeros(n, dtype=np.int64)
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            codes[sym] = code
+            lens[sym] = length
+        _CODE_LUT_CACHE[key] = ent = (codes, lens)
+    return ent
 
 
 def _pack_bits(values: np.ndarray, lengths: np.ndarray) -> bytes:
