@@ -751,9 +751,13 @@ def _pool_decode(
 
     nmcu = np.asarray(nmcu_list, dtype=np.int64)
     out_sizes = nmcu * ncomp * 64
+    # 16 slack slots BETWEEN stream regions: the unmasked scatter of a
+    # CORRUPT stream (k+run past 63) can overshoot its own region by at
+    # most 15 (+DC 0), so the slack guarantees it never contaminates the
+    # next stream's coefficients — valid streams never touch it
     obase = np.zeros(S, dtype=np.int64)
-    obase[1:] = np.cumsum(out_sizes)[:-1]
-    out = np.zeros(int(out_sizes.sum()) + 16, dtype=np.int64)  # +16: corrupt-stream slack
+    obase[1:] = np.cumsum(out_sizes + 16)[:-1]
+    out = np.zeros(int((out_sizes + 16).sum()), dtype=np.int64)
 
     dcrow = np.asarray(dcrow, np.int64)
     acrow = np.asarray(acrow, np.int64)
