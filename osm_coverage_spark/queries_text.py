@@ -834,6 +834,106 @@ FROM ranked WHERE rk <= {_MIX_QUOTA_CASE}
 """
 
 
+# --------------------------------------------------------------------------
+# pack_sequences: concat-and-chunk context packing (GPT-style pretraining
+# batch assembly). Documents are hash-sharded into bounded streams, each
+# stream's text is (logically) concatenated in doc_id order, and the token
+# stream is cut every PACK_L tokens; the output maps every document to the
+# context chunk(s) its tokens land in. The whole op is window-cumsum +
+# sequence-explode — no UDF, no driver loop.
+#
+# Scale: a naive global concat order serializes the corpus through one
+# window task. Real packers pack per shard (order across shards is not
+# semantically meaningful — only WITHIN a context window), so the stream
+# key is (lang, md5-shard): per-task window state is ~|corpus|/(|lang| *
+# PACK_SHARDS) and PACK_SHARDS is raised proportionally at 100 TB. The
+# shard hash is deterministic md5 (dialect-shared), so the packing
+# manifest reproduces bit-identically on any cluster size/partitioning.
+# --------------------------------------------------------------------------
+
+PACK_L = 64  # context length in ws-tokens (docs here are ~8..90 tokens)
+PACK_SHARDS = 4  # streams per language; the 100 TB knob
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document context-chunk spans: (doc_id, lang, shard, chunk,
+    pos0, seg_tok) — doc's tokens occupy [pos0, pos0+seg_tok) of chunk
+    ``chunk`` in its (lang, shard) stream. sum(seg_tok) == total tokens;
+    every chunk except a stream's last is exactly PACK_L full."""
+    derived.register_derived_views(spark, sf_dir)
+    docs = spark.table("documents")
+    shard_hex = "md5(concat('pack|', CAST(doc_id AS STRING)))"
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(T.words_expr(F.col("text"))).cast("long").alias("ntok"),
+        (F.expr(hexn_to_bigint(shard_hex, 4, "spark")) % PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        d.withColumn("end_tok", F.sum("ntok").over(w))
+        .withColumn("start_tok", F.col("end_tok") - F.col("ntok"))
+        .withColumn("first_c", F.floor(F.col("start_tok") / PACK_L))
+        .withColumn("last_c", F.floor((F.col("end_tok") - 1) / PACK_L))
+        .withColumn("chunk", F.explode(F.sequence("first_c", "last_c")))
+    )
+    lo = F.greatest(F.col("start_tok"), F.col("chunk") * PACK_L)
+    hi = F.least(F.col("end_tok"), (F.col("chunk") + 1) * PACK_L)
+    return d.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.col("chunk").cast("long").alias("chunk"),
+        (lo - F.col("chunk") * PACK_L).cast("int").alias("pos0"),
+        (hi - lo).cast("int").alias("seg_tok"),
+    )
+
+
+_PACK_SHARD_DUCK = hexn_to_bigint(
+    "md5('pack|' || CAST(doc_id AS VARCHAR))", 4, "duckdb"
+)
+
+ORACLE["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len({_WORDS}) AS BIGINT) AS ntok,
+         CAST({_PACK_SHARD_DUCK} % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, ntok, shard,
+         CAST(sum(ntok) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS end_tok
+  FROM base
+),
+span AS (
+  SELECT doc_id, lang, shard, end_tok, end_tok - ntok AS start_tok,
+         (end_tok - ntok) // {PACK_L} AS first_c,
+         (end_tok - 1) // {PACK_L} AS last_c
+  FROM cum
+),
+chunks AS (
+  SELECT doc_id, lang, shard, end_tok, start_tok,
+         first_c + unnest(range(0, last_c - first_c + 1)) AS chunk
+  FROM span
+)
+SELECT doc_id, lang, shard, CAST(chunk AS BIGINT) AS chunk,
+       CAST(greatest(start_tok, chunk * {PACK_L}) - chunk * {PACK_L} AS INT)
+         AS pos0,
+       CAST(least(end_tok, (chunk + 1) * {PACK_L})
+            - greatest(start_tok, chunk * {PACK_L}) AS INT) AS seg_tok
+FROM chunks
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
@@ -844,6 +944,7 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "mix_sample": q_mix_sample,
     "mix_assembly": q_mix_assembly,
+    "pack_sequences": q_pack_sequences,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,

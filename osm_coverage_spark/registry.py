@@ -22,6 +22,9 @@ check on them every session:
 - mix_assembly — the dedup → quality-gate → weighted-quota composite of
   three already-recorded families (dedup_exact, text_quality,
   mix_sample); added r5 straight into the retired (module-tested) set.
+- pack_sequences — concat-and-chunk context packing (window cumsum +
+  sequence explode); same window/explode families as mix_sample and
+  expand_ranges; added r5 straight into the retired (module-tested) set.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 # still oracle-tested per-module (see module docstring).
 RETIRED = {
     "mix_assembly",
+    "pack_sequences",
     "top_customers",
     "tpch_q5",
     "tpch_q6",

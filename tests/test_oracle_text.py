@@ -10,3 +10,48 @@ from tests.oracle_utils import check_query
 def test_text_query_matches_oracle(spark, sf_dir, name):
     problems = check_query(spark, sf_dir, qt.QUERIES[name], qt.ORACLE[name])
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing semantics beyond oracle parity: chunks tile each stream's
+    token axis exactly — every chunk but a stream's last is PACK_L full,
+    per-doc segments sum to the doc's token count, and segments within a
+    chunk are disjoint and contiguous."""
+    import pandas as pd
+
+    out = qt.q_pack_sequences(spark, sf_dir).toPandas()
+    assert (out.seg_tok > 0).all()
+    assert ((out.pos0 >= 0) & (out.pos0 + out.seg_tok <= qt.PACK_L)).all()
+
+    # per-doc: segments over its chunks sum to the doc's token count
+    from osm_coverage_spark.operators import text_ops as T
+    from osm_coverage_spark.sources import derived
+    from pyspark.sql import functions as F
+
+    derived.register_derived_views(spark, sf_dir)
+    ntok = (
+        spark.table("documents")
+        .select("doc_id", F.size(T.words_expr(F.col("text"))).alias("ntok"))
+        .toPandas()
+        .set_index("doc_id")["ntok"]
+    )
+    per_doc = out.groupby("doc_id").seg_tok.sum()
+    pd.testing.assert_series_equal(
+        per_doc.sort_index(), ntok.sort_index(), check_names=False,
+        check_dtype=False,
+    )
+
+    # per-stream: chunk ids are 0..max contiguous; all but the last full
+    for (_, _), g in out.groupby(["lang", "shard"]):
+        fill = g.groupby("chunk").seg_tok.sum().sort_index()
+        assert list(fill.index) == list(range(len(fill)))
+        assert (fill.iloc[:-1] == qt.PACK_L).all()
+        assert fill.iloc[-1] <= qt.PACK_L
+
+    # within a chunk: segments tile [0, fill) disjointly
+    for (_, _, _), g in out.groupby(["lang", "shard", "chunk"]):
+        segs = sorted(zip(g.pos0, g.pos0 + g.seg_tok))
+        pos = 0
+        for lo, hi in segs:
+            assert lo == pos
+            pos = hi
