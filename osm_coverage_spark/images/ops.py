@@ -157,6 +157,54 @@ def extract_features_int(images_with_bytes: DataFrame) -> DataFrame:
     return images_with_bytes.mapInPandas(feat_batch, FEATURE_INT_SCHEMA)
 
 
+def box_downsample(arr: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Integer 2×2 (or f×f) box-filter resize: each output pixel is
+    ⌊mean of its f×f quad⌋. Dims must divide by f. uint8 in, uint8 out —
+    the standard pyramid/thumbnail step, exact integer semantics."""
+    h, w = arr.shape[:2]
+    if h % factor or w % factor:
+        raise ValueError("box_downsample requires dims divisible by factor")
+    q = arr.astype(np.int64).reshape(
+        h // factor, factor, w // factor, factor, -1
+    ).sum(axis=(1, 3)) // (factor * factor)
+    return q.astype(np.uint8)
+
+
+RESIZE_INT_SCHEMA = (
+    "image_id string, fmt string, out_w int, out_h int, "
+    "ds_sum bigint, ds_mean_e4 bigint"
+)
+
+
+def resize_stats_int(images_with_bytes: DataFrame) -> DataFrame:
+    """Decode → 2×2 box-downsample (real resized pixels) → integer stats
+    per image: ds_sum = Σ downsampled pixels over all 3 channels,
+    ds_mean_e4 = ⌊10⁴·ds_sum / (3·out_w·out_h)⌋. The downsampled array
+    itself is materialized on the executor (the thumbnail a real pipeline
+    would re-encode and sink); the emitted stats are the oracle surface."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            decoded = codec.decode_batch([bytes(d) for d in pdf["bytes"]])
+            for iid, fmt, (arr, _, _) in zip(
+                pdf["image_id"], pdf["fmt"], decoded
+            ):
+                small = box_downsample(arr)
+                oh, ow = small.shape[:2]
+                total = int(small.astype(np.int64).sum())
+                rows.append(
+                    (iid, fmt, ow, oh, total, 10_000 * total // (3 * ow * oh))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "out_w", "out_h", "ds_sum",
+                         "ds_mean_e4"],
+            )
+
+    return images_with_bytes.mapInPandas(resize_batch, RESIZE_INT_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # MPNG frame container — a real multi-frame byte format: 'MPNG' magic,
 # frame count, length-prefixed REAL PNG frames (block-aligned horizontal

@@ -88,6 +88,13 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.extract_features_int(ops.with_encoded_bytes(img))
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → decode → 2×2 box-downsample (the thumbnail/pyramid step)
+    → integer stats; oracle = the block-class dsum column."""
+    img = _images(spark, sf_dir)
+    return ops.resize_stats_int(ops.with_encoded_bytes(img))
+
+
 def q_image_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image → MPNG container of real PNG strip-frames → parse + decode
     each frame → integer per-frame stats."""
@@ -110,6 +117,7 @@ ORACLE: dict[str, str] = {}
 ORACLE["image_decode_verify"] = _io.decode_verify_sql()
 ORACLE["image_features"] = _io.features_sql()
 ORACLE["image_frame_sample"] = _io.frame_sample_sql()
+ORACLE["image_resize"] = _io.resize_sql()
 
 # Both polys oracles join on the provably-equivalent grid candidate key
 # PLUS the exact bbox predicate (see derived.POINT_GKEY: avoids DuckDB
@@ -140,4 +148,5 @@ QUERIES = {
     "image_decode_verify": q_image_decode_verify,
     "image_features": q_image_features,
     "image_frame_sample": q_image_frame_sample,
+    "image_resize": q_image_resize,
 }

@@ -25,6 +25,9 @@ check on them every session:
 - pack_sequences — concat-and-chunk context packing (window cumsum +
   sequence explode); same window/explode families as mix_sample and
   expand_ranges; added r5 straight into the retired (module-tested) set.
+- image_resize — decode → 2×2 box-downsample stats; same mapInPandas
+  codec family as image_decode_verify/image_features (block-class dsum
+  oracle); added r5 straight into the retired (module-tested) set.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 RETIRED = {
     "mix_assembly",
     "pack_sequences",
+    "image_resize",
     "top_customers",
     "tpch_q5",
     "tpch_q6",

@@ -35,10 +35,21 @@ from . import derived
 CHANNELS = ((7, 13), (3, 31), (17, 5))
 
 
+def _block_dsum(blocks: np.ndarray) -> np.ndarray:
+    """Per-block sum of the 2×2 box downsample ⌊(p00+p01+p10+p11)/4⌋ —
+    the integer the resize op emits. blocks: (n, 8, 8) int64."""
+    q = (
+        blocks.reshape(-1, 4, 2, 4, 2).sum(axis=(2, 4)) // 4
+    )  # (n, 4, 4) downsampled pixels
+    return q.sum(axis=(1, 2))
+
+
 @lru_cache(maxsize=1)
 def class_rows() -> tuple:
-    """((fmt, ch, k, blocksum, sse), ...) for fmt ∈ {png, jpeg}, ch < 3,
-    k < 256 — computed with the codec's own transform stages."""
+    """((fmt, ch, k, blocksum, sse, dsum), ...) for fmt ∈ {png, jpeg},
+    ch < 3, k < 256 — computed with the codec's own transform stages.
+    ``dsum`` is the block's 2×2-box-downsample pixel sum (resize op);
+    a 2×2 quad never straddles an 8×8 block, so it is class-pure too."""
     from ..images import jpeg
 
     jj, ii = np.mgrid[0:8, 0:8]  # rows j, cols i
@@ -47,9 +58,10 @@ def class_rows() -> tuple:
         base = (a * ii + b * jj) % 256  # (8, 8)
         stack = (base[None, :, :] + np.arange(256)[:, None, None]) % 256
         truth = stack.astype(np.int64)
+        tds = _block_dsum(truth)
         # png: identity decode
         for k in range(256):
-            rows.append(("png", ch, k, int(truth[k].sum()), 0))
+            rows.append(("png", ch, k, int(truth[k].sum()), 0, int(tds[k])))
         # jpeg: real transform round-trip (entropy stage is lossless, so
         # this equals full encode->decode; tests/test_jpeg.py asserts it)
         dec = jpeg.dequant_idct(
@@ -57,16 +69,17 @@ def class_rows() -> tuple:
         ).astype(np.int64)
         err = ((dec - truth) ** 2).sum(axis=(1, 2))
         bsum = dec.sum(axis=(1, 2))
+        dds = _block_dsum(dec)
         for k in range(256):
-            rows.append(("jpeg", ch, k, int(bsum[k]), int(err[k])))
+            rows.append(("jpeg", ch, k, int(bsum[k]), int(err[k]), int(dds[k])))
     return tuple(rows)
 
 
 def _cls_cte() -> str:
     vals = ", ".join(
-        f"('{f}',{c},{k},{b},{s})" for f, c, k, b, s in class_rows()
+        f"('{f}',{c},{k},{b},{s},{d})" for f, c, k, b, s, d in class_rows()
     )
-    return f"cls(fmt, ch, k, bsum, sse) AS (VALUES {vals})"
+    return f"cls(fmt, ch, k, bsum, sse, dsum) AS (VALUES {vals})"
 
 
 def _imgs_cte() -> str:
@@ -94,7 +107,8 @@ blocks AS (
 vals AS (
   SELECT b.image_id, b.fmt, b.w, b.h, b.nx, b.ny, b.bx, b.by,
          r.bsum + g.bsum + u.bsum AS bsum3,
-         r.sse + g.sse + u.sse AS sse3
+         r.sse + g.sse + u.sse AS sse3,
+         r.dsum + g.dsum + u.dsum AS dsum3
   FROM blocks b
   JOIN cls r ON r.fmt = b.fmt AND r.ch = 0
             AND r.k = (56 * b.bx + 104 * b.by + b.c0) % 256
@@ -149,6 +163,18 @@ SELECT s.image_id,
        any_value(t.total) AS gray3_total
 FROM super s JOIN tot t USING (image_id)
 GROUP BY s.image_id"""
+
+
+def resize_sql() -> str:
+    """2×2 box-downsample (resize) stats: per-class dsum aggregated over
+    the block grid — same closed form as decode_verify, new column."""
+    return f"""{_prelude()}
+SELECT image_id, fmt,
+       CAST(w // 2 AS INT) AS out_w, CAST(h // 2 AS INT) AS out_h,
+       CAST(sum(dsum3) AS BIGINT) AS ds_sum,
+       (10000 * CAST(sum(dsum3) AS BIGINT)) // (3 * (w // 2) * (h // 2))
+         AS ds_mean_e4
+FROM vals GROUP BY image_id, fmt, w, h"""
 
 
 def frame_sample_sql(n_frames: int = 3) -> str:

@@ -73,3 +73,22 @@ def test_tile_assignment_stable_across_parallelism(spark, sf_dir):
     key = lambda df: df.sort_values(list(df.columns)).reset_index(drop=True)
     assert key(b).equals(key(a2))
     assert len(a) >= len(b.image_id.unique()) * 0  # pip returns one row per image (fallback)
+
+
+def test_box_downsample_exact_vs_naive():
+    import numpy as np
+    from osm_coverage_spark.images import ops
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    small = ops.box_downsample(a)
+    assert small.shape == (8, 12, 3)
+    for y in range(8):
+        for x in range(12):
+            for c in range(3):
+                q = a[2 * y : 2 * y + 2, 2 * x : 2 * x + 2, c].astype(int).sum() // 4
+                assert small[y, x, c] == q
+    import pytest
+
+    with pytest.raises(ValueError):
+        ops.box_downsample(a[:15])

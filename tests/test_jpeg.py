@@ -63,7 +63,7 @@ def test_class_table_matches_full_pipeline():
     the closed-form DuckDB oracle to the executor code path."""
     from osm_coverage_spark.sources.image_oracle import CHANNELS, class_rows
 
-    cls = {(f, c, k): (b, s) for f, c, k, b, s in class_rows()}
+    cls = {(f, c, k): (b, s) for f, c, k, b, s, _d in class_rows()}
     for iid, w, h, fmt in [("img_7", 48, 40, "jpeg"), ("img_8", 32, 24, "png")]:
         truth = codec.synth_pixels(iid, w, h)
         dec, _, dfmt = codec.decode(codec.encode(truth, "cap", fmt))
