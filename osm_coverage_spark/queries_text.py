@@ -243,6 +243,79 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ROUNDS = 16
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pair graph — the
+    step that turns pairwise dedup evidence into the actual curation
+    product: one canonical survivor per duplicate CLUSTER. Pairs are
+    transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so keeping
+    `min(id_a, id_b)` per PAIR over-deletes; the component's global
+    minimum is the standard keeper rule.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round (a) relaxes labels across edges (one shuffle join on the
+    edge src + a partial-agg min), then (b) jumps each label to its
+    label's label (a self-join that halves remaining path lengths), so
+    convergence is O(log diameter) rounds, not O(diameter). The edge
+    list is persisted once and reused every round; labels are
+    localCheckpoint()ed per round to truncate the growing lineage. At
+    10^12 docs the edges are the LSH-verified near-dup pairs (orders of
+    magnitude smaller than the corpus), every round is
+    edge-partitioned work with no all-pairs path, and a planted
+    worst-case chain still converges in log rounds. Genuinely iterative
+    (driver-side convergence loop), yet still expressible to the oracle:
+    DuckDB replays it as a recursive CTE reachability fixpoint.
+    """
+    pairs = q_dedup_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select("id_b", "id_a")).toDF("src", "dst").persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "comp")
+        relaxed = (
+            labels.union(msgs).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+        )
+        jumped = relaxed.join(
+            relaxed.select(F.col("doc_id").alias("comp"), F.col("comp").alias("jc")),
+            "comp",
+            "left",
+        ).select("doc_id", F.coalesce("jc", F.col("comp")).alias("comp"))
+        new = jumped.localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components: no fixpoint in {CC_MAX_ROUNDS} rounds"
+        )
+    edges.unpersist()
+    sz = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.join(sz, "comp").select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        F.col("csize").cast("bigint").alias("csize"),
+        F.when(F.col("doc_id") == F.col("comp"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash: per-token md5-derived bit votes."""
     docs = _docs(spark, sf_dir)
@@ -487,6 +560,31 @@ scored AS (
   FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id
 )
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_TAU}
+"""
+
+# Reachability fixpoint over the SAME verified-pair query (embedded as a
+# nested-WITH CTE): comp(x) = min doc_id reachable from x in the
+# undirected pair graph — exactly what the Spark-side label propagation
+# converges to.
+ORACLE["dedup_components"] = f"""WITH RECURSIVE jp AS (
+{ORACLE["dedup_jaccard"]}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b, id_a FROM jp
+),
+cnodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM cnodes
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+lab AS (SELECT doc_id, MIN(comp) AS component_id FROM reach GROUP BY doc_id),
+sz AS (SELECT component_id, COUNT(*) AS csize FROM lab GROUP BY component_id)
+SELECT l.doc_id, l.component_id, CAST(s.csize AS BIGINT) AS csize,
+       CAST(CASE WHEN l.doc_id = l.component_id THEN 1 ELSE 0 END AS INT) AS keep
+FROM lab l JOIN sz s USING (component_id)
 """
 
 _TH = hexn_to_bigint("md5(w)", 4, "duckdb")
@@ -947,6 +1045,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "neardup_embedding": q_neardup_embedding,
     "ann_topk": q_ann_topk,

@@ -28,6 +28,10 @@ check on them every session:
 - image_resize — decode → 2×2 box-downsample stats; same mapInPandas
   codec family as image_decode_verify/image_features (block-class dsum
   oracle); added r5 straight into the retired (module-tested) set.
+- dedup_components — connected-components clustering of the verified
+  near-dup pairs (iterative min-label propagation + pointer jumping,
+  recursive-CTE oracle); consumes dedup_jaccard's already-recorded
+  family; added r5 straight into the retired (module-tested) set.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 # Redundant family variants kept OUT of the 50-entry driver window but
 # still oracle-tested per-module (see module docstring).
 RETIRED = {
+    "dedup_components",
     "mix_assembly",
     "pack_sequences",
     "image_resize",

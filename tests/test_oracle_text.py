@@ -12,6 +12,23 @@ def test_text_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_dedup_components_invariants(spark, sf_dir):
+    """Clustering semantics beyond oracle parity: both ends of every
+    verified near-dup pair land in the same component, each component's
+    id is its minimum member (the keeper rule), and exactly one member
+    per component carries keep=1."""
+    comp = qt.q_dedup_components(spark, sf_dir).toPandas()
+    pairs = qt.q_dedup_jaccard(spark, sf_dir).toPandas()
+    lab = comp.set_index("doc_id")["component_id"]
+    assert (lab.loc[pairs.id_a].values == lab.loc[pairs.id_b].values).all()
+    bycomp = comp.groupby("component_id")
+    assert (bycomp.doc_id.min() == bycomp.doc_id.min().index).all()
+    assert (bycomp.keep.sum() == 1).all()
+    assert (bycomp.size() == bycomp.csize.first()).all()
+    # non-trivial fixture: at least one multi-doc cluster exists
+    assert (comp.csize > 1).any()
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing semantics beyond oracle parity: chunks tile each stream's
     token axis exactly — every chunk but a stream's last is PACK_L full,

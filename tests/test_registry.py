@@ -20,13 +20,15 @@ def test_retired_entries_stay_module_tested():
     assert set(registry.RETIRED_ORACLE) == registry.RETIRED
     # each retired name still sits in its home module's QUERIES dict,
     # which the per-family oracle tests parametrize over
-    from osm_coverage_spark import (queries_graft, queries_misc,
-                                    queries_text, queries_tpch)
+    from osm_coverage_spark import (queries_graft, queries_images,
+                                    queries_misc, queries_text,
+                                    queries_tpch)
 
     module_names = (
         set(queries_tpch.QUERIES)
         | set(queries_misc.QUERIES)
         | set(queries_graft.QUERIES)
+        | set(queries_images.QUERIES)
         | set(queries_text.QUERIES)
     )
     assert registry.RETIRED <= module_names
