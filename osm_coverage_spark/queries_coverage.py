@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .functions.normalize import normalize_key_sql
 from .geo.distance import haversine_m_sql
@@ -107,6 +108,68 @@ def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
         )
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attributed to the latest click by
+    the same user at-or-before the purchase's timestamp (the classic
+    attribution / point-in-time-correct feature lookup).
+
+    Spark has no ASOF JOIN operator, and the naive θ-join
+    (`p.user = c.user AND c.ts <= p.ts` + argmax) is a BroadcastNestedLoop
+    or a per-user quadratic blowup. The scale-correct formulation is
+    union-and-window: tag both streams, sort each user's merged timeline
+    once, and carry the last click forward with
+    `last(..., ignorenulls=True)` — ONE shuffle on user_id, linear work,
+    no range-join explosion, and the window frame is running (no full
+    partition buffering). Ties (click.ts == purchase.ts) sort the click
+    first, giving the standard `<=` as-of semantics; among equal-ts
+    clicks the greatest event_id wins (deterministic).
+
+    The DuckDB oracle is an independently-shaped correlated top-1
+    subquery (ORDER BY ts DESC, event_id DESC LIMIT 1) — different
+    algorithm, same answer.
+    """
+    derived.load_testdata(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("cid"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", F.coalesce("cid", "event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts_us",
+        "kind",
+        "event_id",
+        F.last(F.when(F.col("kind") == 0, F.col("cid")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_id",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("lag_us"),
     )
 
 
@@ -296,6 +359,25 @@ SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS STRING) AS win_start,
 FROM events GROUP BY 1, 2
 """
 
+# Correlated top-1 subquery — structurally independent of the Spark
+# union-and-window plan, equality-correlated on user_id (no bare-
+# inequality join; see the DuckDB IEJoin livelock note in FIXTURES.md).
+ORACLE["events_asof"] = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+  (SELECT c.event_id FROM c
+   WHERE c.user_id = p.user_id AND c.ts_us <= epoch_us(p.ts)
+   ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS click_id,
+  epoch_us(p.ts) -
+  (SELECT c.ts_us FROM c
+   WHERE c.user_id = p.user_id AND c.ts_us <= epoch_us(p.ts)
+   ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS lag_us
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
 ORACLE["coverage_export"] = f"""{_prelude()},
 {_flagged_sql()}
 SELECT street, housenumber, FALSE AS matched, alkis_id, district, state
@@ -314,4 +396,5 @@ QUERIES = {
     "coverage_export": q_coverage_export,
     "coverage_global_stats": q_coverage_global_stats,
     "events_windowed_counts": q_events_windowed_counts,
+    "events_asof": q_events_asof,
 }

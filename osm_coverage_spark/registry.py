@@ -32,6 +32,10 @@ check on them every session:
   near-dup pairs (iterative min-label propagation + pointer jumping,
   recursive-CTE oracle); consumes dedup_jaccard's already-recorded
   family; added r5 straight into the retired (module-tested) set.
+- ann_lsh_bucketed — retired r5 to make window room for the new as-of
+  join family (events_asof): the bucketed-ANN shape stays covered
+  in-window by ann_ivf (trained coarse quantizer) + neardup_embedding
+  (sign-LSH bands), and ann_topk keeps the exact baseline.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 # still oracle-tested per-module (see module docstring).
 RETIRED = {
     "dedup_components",
+    "ann_lsh_bucketed",
     "mix_assembly",
     "pack_sequences",
     "image_resize",
