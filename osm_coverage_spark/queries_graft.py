@@ -103,6 +103,64 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYRAMID_LEVELS = (15, 12, 9, 6)  # zoom pyramid: 64 children per step
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical zoom-level rollup — the map-tile pyramid build every
+    tile server runs (count + pixel volume per cell at every zoom).
+
+    Scale shape: the base table is scanned and shuffled ONCE (finest
+    level); the coarser levels are derived from that AGGREGATE — each
+    base cell explodes into its 4 (res, ancestor-cell) pairs via pure
+    cell-id arithmetic (geo/cells.parent_expr) and one second, tiny
+    shuffle groups them. Total cost at 100 TB: one full shuffle of the
+    narrow (cell) projection + one shuffle of ~4× the base CELL count
+    (map-side combine collapses it further) — never a re-scan, never a
+    per-level pass. A naive per-level union re-plans the base aggregate
+    once per branch (Catalyst duplicates the subtree; measured 10 scans
+    for 4 levels), which is why the explode-from-aggregate shape is the
+    right one. The equal-angle grid guarantees parent_expr(cell(p, r))
+    == cell(p, r-3) bit-for-bit (power-of-two cell edges: FP division
+    by 2^k rescales the exponent only), which the oracle exploits by
+    computing EVERY level straight from lat/lon — an independent
+    derivation of the same pyramid.
+    """
+    img = _images(spark, sf_dir)
+    base_res = PYRAMID_LEVELS[0]
+    base = (
+        img.withColumn(
+            "cell", cells.cell_expr(F.col("lat"), F.col("lon"), base_res)
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("px_sum"),
+        )
+    )
+    ancestors = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("res"),
+                        cells.parent_expr(F.col("cell"), base_res, r).alias(
+                            "cell"
+                        ),
+                    )
+                    for r in PYRAMID_LEVELS
+                ]
+            )
+        ).alias("_lv"),
+        "n_images",
+        "px_sum",
+    ).select("_lv.res", "_lv.cell", "n_images", "px_sum")
+    return ancestors.groupBy("res", "cell").agg(
+        F.sum("n_images").cast("long").alias("n_images"),
+        F.sum("px_sum").cast("long").alias("px_sum"),
+    )
+
+
 def q_image_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = _images(spark, sf_dir)
     return img.groupBy("fmt").agg(
@@ -174,6 +232,18 @@ FROM images a JOIN images b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
 
+# Each level derived independently from lat/lon (no parent arithmetic).
+_PYR_LEVEL_SQL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({r} AS INT) AS res, {cells.cell_sql('lat', 'lon', r)} AS cell,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS px_sum
+FROM images GROUP BY 2"""
+    for r in PYRAMID_LEVELS
+)
+ORACLE["tile_pyramid"] = f"""{_prelude()}
+{_PYR_LEVEL_SQL}
+"""
+
 ORACLE["image_meta_stats"] = f"""{_prelude()}
 SELECT fmt, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS avg_w,
@@ -187,5 +257,6 @@ QUERIES = {
     "image_tile_counts": q_image_tile_counts,
     "knn_images": q_knn_images,
     "phash_neardup": q_phash_neardup,
+    "tile_pyramid": q_tile_pyramid,
     "image_meta_stats": q_image_meta_stats,
 }

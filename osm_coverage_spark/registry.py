@@ -36,6 +36,9 @@ check on them every session:
   join family (events_asof): the bucketed-ANN shape stays covered
   in-window by ann_ivf (trained coarse quantizer) + neardup_embedding
   (sign-LSH bands), and ann_topk keeps the exact baseline.
+- image_tile_assign — retired r5 in favor of tile_pyramid, whose base
+  level runs the identical cell_expr assignment before the hierarchical
+  rollup (strictly more of the same family under driver evidence).
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft
 RETIRED = {
     "dedup_components",
     "ann_lsh_bucketed",
+    "image_tile_assign",
     "mix_assembly",
     "pack_sequences",
     "image_resize",

@@ -271,6 +271,29 @@ def test_dedup_jaccard_single_shingle_scan(spark, sf_dir):
     )
 
 
+def test_tile_pyramid_single_base_scan(spark, sf_dir):
+    """The pyramid must scan + shuffle the base table exactly once: every
+    coarser zoom level re-aggregates the previous LEVEL's output via
+    cell-id arithmetic, never re-reading the source. One live scan of
+    `documents` (the images view's base) in the executed plan proves the
+    cascade shape — at 100 TB the three rollup levels cost a shuffle over
+    the already-64×-smaller aggregate, not three more table scans."""
+    from osm_coverage_spark import queries_graft as qg
+
+    df = qg.q_tile_pyramid(spark, sf_dir)
+    df.collect()  # AQE finalizes only the executed DataFrame object
+    # toString appends the pre-AQE "Initial Plan" — count the final only
+    plan = _plan(df).split("Initial Plan")[0]
+    # the images view is itself a 2-branch union (base + '_b' twins), so
+    # ONE pass over the source = exactly 2 FileScans; the naive
+    # per-level union plan showed 2×(1+2+3+4) scan instances
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 2, f"scans={n_scans}\n" + plan
+    # and the rollup side re-aggregates the aggregate: exactly two
+    # exchanges total (base cell shuffle + tiny (res, cell) shuffle)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_mix_sample_salted_equals_direct_window(spark, sf_dir):
     """The two-pass salted top-quota (bounded per-task sort) must produce
     exactly the naive single-window result, ranks included."""
