@@ -316,6 +316,119 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: each document's TFIDF_TOPK most salient
+    terms, ranked by tf·idf with the LOG-FREE idf = 1/df (rank-identical
+    per doc to tf·(N/df) since N is constant within a document, and —
+    unlike ln — bit-deterministic across engines: one IEEE division of
+    the same integers gives the same double everywhere, so the
+    cross-engine ordering can never flip on an ulp).
+
+    Scale shape: tokenize+explode is map-side; tf is one (doc_id, term)
+    shuffle; df aggregates tf's (already small per key) output on term
+    with map-side combine; the tf⇄df join is per-term with exactly one
+    df row per term (no multiplication, stopword-skew safe); final
+    per-doc top-k is a row_number window over doc_id partitions. Compared
+    columns are all INT/STRING.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(T.words_expr(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+KMV_K = 64
+KMV_M = 16**15  # hash space: 15 hex chars of md5 → [0, 2^60)
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram-phrase cardinality per language via a K-minimum-
+    values sketch — the approximate COUNT(DISTINCT) whose shuffle volume
+    is BOUNDED (≤ k rows per group per task) instead of proportional to
+    the true distinct count. (Shingles, not single terms: the fixture's
+    per-lang phrase space is in the thousands, so the k-th-order-
+    statistic path — not just the small-set exact fallback — is what the
+    oracle actually verifies.)
+
+    Why not exact? At 100 TB, `groupBy(lang).agg(count_distinct(gram))`
+    shuffles every distinct (lang, gram) pair — the phrase book itself.
+    KMV ships only each task's k smallest distinct hashes (mapInPandas
+    partial sketch over JVM-computed hashes), merges them with one tiny
+    shuffle, and estimates |S| ≈ (k-1)·M/h(k) from the k-th smallest
+    merged hash. The global k smallest hashes each survive their own
+    task's top-k, so the merged estimate is INDEPENDENT of partitioning
+    — which also makes it exactly reproducible: the oracle computes the
+    same k-th order statistic straight from the full distinct set and
+    applies the identical division-first floor formula (md5-derived
+    hashes are engine-portable; < k distinct falls back to the exact
+    count, the standard KMV small-set rule).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas ships pandas batches
+
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.withColumn("w", T.words_expr(F.lower(F.col("text"))))
+        .select("lang", F.explode(T.shingles_expr(F.col("w"))).alias("gram"))
+    )
+    hashed = grams.select(
+        "lang", F.expr(hexn_to_bigint("md5(gram)", 15, "spark")).alias("h")
+    )
+
+    def _partial(batches):
+        for b in batches:
+            yield (
+                b.drop_duplicates()
+                .sort_values(["lang", "h"])
+                .groupby("lang", as_index=False)
+                .head(KMV_K)
+            )
+
+    sketch = hashed.mapInPandas(_partial, schema="lang string, h bigint")
+    merged = sketch.dropDuplicates(["lang", "h"])
+    wr = Window.partitionBy("lang").orderBy("h")
+    wall = Window.partitionBy("lang")
+    ranked = merged.select(
+        "lang",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.least(F.col("cnt"), F.lit(KMV_K))
+    ).select(
+        "lang",
+        F.when(F.col("cnt") < KMV_K, F.col("cnt").cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(KMV_K - 1)
+                * (F.lit(float(KMV_M)) / F.col("h").cast("double"))
+            ).cast("bigint")
+        )
+        .alias("distinct_est"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash: per-token md5-derived bit votes."""
     docs = _docs(spark, sf_dir)
@@ -585,6 +698,59 @@ sz AS (SELECT component_id, COUNT(*) AS csize FROM lab GROUP BY component_id)
 SELECT l.doc_id, l.component_id, CAST(s.csize AS BIGINT) AS csize,
        CAST(CASE WHEN l.doc_id = l.component_id THEN 1 ELSE 0 END AS INT) AS keep
 FROM lab l JOIN sz s USING (component_id)
+"""
+
+ORACLE["doc_tfidf"] = f"""{_D},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM docs_dup
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                     t.term ASC) AS rank
+  FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+# The oracle derives the SAME k-th order statistic from the full
+# distinct hash set — no sketch, identical estimate formula
+# (division-first, floor) over engine-portable md5 hashes.
+ORACLE["distinct_kmv"] = f"""{_D},
+kmv_base AS (
+  SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM docs_dup
+),
+kmv_grams AS (
+  SELECT lang,
+         unnest(list_transform(range(len(w) - 2),
+                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+           AS gram
+  FROM kmv_base WHERE len(w) >= 3
+),
+hs AS (
+  SELECT DISTINCT lang, {hexn_to_bigint("md5(gram)", 15, "duckdb")} AS h
+  FROM kmv_grams
+),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM hs
+)
+SELECT lang,
+       CASE WHEN cnt < {KMV_K} THEN CAST(cnt AS BIGINT)
+            ELSE CAST(floor({KMV_K - 1} *
+                            (CAST({KMV_M} AS DOUBLE) / CAST(h AS DOUBLE)))
+                 AS BIGINT) END AS distinct_est
+FROM ranked WHERE rn = least(cnt, {KMV_K})
 """
 
 _TH = hexn_to_bigint("md5(w)", 4, "duckdb")
@@ -1047,6 +1213,8 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
+    "doc_tfidf": q_doc_tfidf,
+    "distinct_kmv": q_distinct_kmv,
     "neardup_embedding": q_neardup_embedding,
     "ann_topk": q_ann_topk,
 }

@@ -39,6 +39,14 @@ check on them every session:
 - image_tile_assign — retired r5 in favor of tile_pyramid, whose base
   level runs the identical cell_expr assignment before the hierarchical
   rollup (strictly more of the same family under driver evidence).
+- doc_tfidf — per-doc top-k salient terms (corpus df join + ranking
+  window); its shapes are covered in-window by token_count/text_quality
+  (tokenize family) and history_topk_improvers (window top-k); added r5
+  straight into the retired (module-tested) set.
+- dedup_simhash — retired r5 to make window room for the new sketch
+  family (distinct_kmv): the near-dup family keeps five in-window
+  representatives (dedup_minhash_lsh, dedup_jaccard, dedup_substring,
+  neardup_embedding, phash_neardup).
 """
 
 from __future__ import annotations
@@ -51,6 +59,8 @@ RETIRED = {
     "dedup_components",
     "ann_lsh_bucketed",
     "image_tile_assign",
+    "doc_tfidf",
+    "dedup_simhash",
     "mix_assembly",
     "pack_sequences",
     "image_resize",

@@ -29,6 +29,35 @@ def test_dedup_components_invariants(spark, sf_dir):
     assert (comp.csize > 1).any()
 
 
+def test_distinct_kmv_accuracy_and_sketch_path(spark, sf_dir):
+    """Beyond oracle parity (which already proves partitioning-
+    independence — the oracle is computed from the UNpartitioned distinct
+    set): the sketch path (k-th order statistic, not the small-set exact
+    fallback) actually fires for every language, and each estimate is
+    within 5 standard errors (σ ≈ 1/√(k−2)) of the true
+    distinct-shingle count."""
+    from osm_coverage_spark.operators import text_ops as T
+    from pyspark.sql import functions as F
+
+    est = qt.q_distinct_kmv(spark, sf_dir).toPandas().set_index("lang")
+    docs = qt._docs(spark, sf_dir)
+    truth = (
+        docs.withColumn("w", T.words_expr(F.lower(F.col("text"))))
+        .select("lang", F.explode(T.shingles_expr(F.col("w"))).alias("g"))
+        .groupBy("lang")
+        .agg(F.count_distinct("g").alias("n"))
+        .toPandas()
+        .set_index("lang")
+    )
+    import math
+
+    rel_tol = 5.0 / math.sqrt(qt.KMV_K - 2)
+    for lang, row in truth.iterrows():
+        n, e = row["n"], est.loc[lang, "distinct_est"]
+        assert n > qt.KMV_K, f"{lang}: fixture too small to exercise sketch"
+        assert abs(e - n) <= rel_tol * n, f"{lang}: est={e} true={n}"
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing semantics beyond oracle parity: chunks tile each stream's
     token axis exactly — every chunk but a stream's last is PACK_L full,
