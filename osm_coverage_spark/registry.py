@@ -47,11 +47,25 @@ check on them every session:
   family (distinct_kmv): the near-dup family keeps five in-window
   representatives (dedup_minhash_lsh, dedup_jaccard, dedup_substring,
   neardup_embedding, phash_neardup).
+- clean_street_suffixes — retired r5 for events_sessionize: the regex
+  suffix-cleaner family keeps remove_ortsteil in-window (same
+  order-sensitive replace machinery, functions/normalize.py).
+- history_adjust — retired r5 for events_range_join: the history delta
+  family keeps four in-window representatives (history_upsert,
+  history_retro, history_lag_delta, history_topk_improvers);
+  adjust-history is retro-propagation's CLI twin over the same operator
+  (operators/history.py:56 delegates to the retro machinery).
+- doc_fingerprint — retired r5 for events_quantiles: per-doc hashing is
+  strictly subsumed in-window by doc_winnowing (positional sketch) and
+  dedup_exact (whole-doc hash dedup).
+- housename_variants — retired r5 for events_pivot: the variant
+  expansion / explode family keeps three in-window representatives
+  (expand_ranges, expand_separators, carry_forward_split).
 """
 
 from __future__ import annotations
 
-from . import queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch
+from . import queries_coverage, queries_corrections, queries_events, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch
 
 # Redundant family variants kept OUT of the 50-entry driver window but
 # still oracle-tested per-module (see module docstring).
@@ -70,6 +84,10 @@ RETIRED = {
     "dedup_rows",
     "list_specific_streets",
     "image_tile_counts",
+    "clean_street_suffixes",
+    "history_adjust",
+    "doc_fingerprint",
+    "housename_variants",
 }
 
 DRIVER_GATE_CAP = 50
@@ -79,7 +97,7 @@ ORACLE = {}
 RETIRED_QUERIES = {}
 RETIRED_ORACLE = {}
 
-for mod in (queries_coverage, queries_corrections, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch):
+for mod in (queries_coverage, queries_corrections, queries_events, queries_gpkg, queries_graft, queries_history, queries_images, queries_misc, queries_pbf, queries_text, queries_tpch):
     for name, fn in mod.QUERIES.items():
         (RETIRED_QUERIES if name in RETIRED else QUERIES)[name] = fn
     for name, sql in mod.ORACLE.items():

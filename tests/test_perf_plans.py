@@ -375,3 +375,33 @@ def test_pip_rings_cache_bounded_lru(spark):
     )
     again = pip._rings_broadcast(spark, polys0, "name")
     assert again is not first
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands must cost ONE exchange: the windows hash-partition
+    on user_id and the closing groupBy(user_id, session_idx) reuses it
+    (HashPartitioning(user_id) satisfies the grouping's
+    ClusteredDistribution)."""
+    import re
+
+    from osm_coverage_spark import queries_events as qe
+
+    df = qe.q_events_sessionize(spark, sf_dir)
+    df.collect()  # AQE finalizes only the executed DataFrame object
+    # toString() of an AQE plan prints Final AND Initial sections — count
+    # exchanges only in the final one
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    assert len(shuffles) == 1, plan
+
+
+def test_range_join_is_broadcast_stencil(spark, sf_dir):
+    """The interval join must be a broadcast equi-join on the time cell —
+    never a BroadcastNestedLoop θ-join (the plan that dies at 100 TB)."""
+    from osm_coverage_spark import queries_events as qe
+
+    df = qe.q_events_range_join(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

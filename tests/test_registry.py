@@ -20,7 +20,8 @@ def test_retired_entries_stay_module_tested():
     assert set(registry.RETIRED_ORACLE) == registry.RETIRED
     # each retired name still sits in its home module's QUERIES dict,
     # which the per-family oracle tests parametrize over
-    from osm_coverage_spark import (queries_graft, queries_images,
+    from osm_coverage_spark import (queries_coverage, queries_graft,
+                                    queries_history, queries_images,
                                     queries_misc, queries_text,
                                     queries_tpch)
 
@@ -30,5 +31,7 @@ def test_retired_entries_stay_module_tested():
         | set(queries_graft.QUERIES)
         | set(queries_images.QUERIES)
         | set(queries_text.QUERIES)
+        | set(queries_coverage.QUERIES)
+        | set(queries_history.QUERIES)
     )
     assert registry.RETIRED <= module_names
