@@ -38,6 +38,7 @@ DEFAULT_BENCH = [
     "dedup_simhash",
     "ann_topk",
     "history_topk_improvers",
+    "events_sessionize",
     "tpch_q1",
     "tpch_q3",
 ]

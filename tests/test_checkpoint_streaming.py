@@ -151,3 +151,76 @@ def test_staleness_gate(spark):
         incremental.mark_processed(spark, ctl, "2026-01-30")
         assert not incremental.needs_rerun(spark, ctl, "2026-01-30")
         assert incremental.needs_rerun(spark, ctl, "2026-01-31")
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The event-time stateful sessionizer's closed sessions must equal the
+    batch gaps-and-islands query exactly (same gap, same aggregates). Two
+    micro-batches (maxFilesPerTrigger=1): the real events, then one
+    far-future sentinel per user that deterministically closes every open
+    tail — exercising open-session state carried ACROSS batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark import queries_events as qe
+    from osm_coverage_spark.streaming.stateful import sessionize_event_time
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+
+    ev = qe._events_us(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "val_e2"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel_us = max_us + 10 * 86_400 * 1_000_000
+    sentinels = (
+        ev.select("user_id").distinct()
+        .withColumn("ts_us", F.lit(sentinel_us))
+        .withColumn("event_id", F.lit(10**12))
+        .withColumn("val_e2", F.lit(0).cast("bigint"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+    def write_one(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+
+    write_one(ev, "b0")
+    write_one(sentinels, "b1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize_event_time(stream)
+        .writeStream.format("memory")
+        .queryName("sess_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("sess_parity")
+        .filter(F.col("start_us") < sentinel_us)
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    want = (
+        qe.q_events_sessionize(spark, sf_dir)
+        .drop("session_idx")
+        .toPandas()[got.columns.tolist()]
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got.equals(want), (got.compare(want) if len(got) == len(want) else "len")
