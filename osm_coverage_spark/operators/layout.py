@@ -1,0 +1,124 @@
+"""Layout-aware spatial storage: tile-partitioned parquet with Morton
+(Z-order) clustering inside each tile, and a bbox reader that prunes to
+the overlapping tiles before Spark opens a single file.
+
+This is the 100 TB lever the query operators can't provide on their own:
+a full-planet point table scanned for one city is I/O-bound on *layout*,
+not compute. Writing `partitionBy(tile)` turns the coarse spatial key
+into Hive directory partitions — a bbox query then hits only the
+overlapping tile directories (partition pruning, visible as
+``PartitionFilters`` in the scan node) — and sorting within each tile by
+the Morton code co-locates nearby points into the same parquet row
+groups, so the row-group lat/lon min/max stats stay tight and
+``PushedFilters`` on the residual bbox skip most pages of even the tiles
+that do overlap.
+
+The reference keeps its working set as flat GeoPackage/CSV extracts
+re-read in full every run (`02_extract_alkis.py`, `04_compare*.py` —
+whole-table loads); this module is the Spark-lake replacement for that
+pattern. Pure Catalyst expressions throughout — the Morton interleave is
+the classic magic-number bit spread, 10 JVM ops per point, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geo import cells
+
+TILE_RES = 8  # 1.40625-degree directory tiles
+Z_RES = 18  # ~153 m Morton quantum (matches the match-radius grid)
+
+
+def _spread16(x: Column) -> Column:
+    """Spread the low 16 bits of ``x`` so bit i lands at bit 2i (the
+    standard Morton magic-number sequence, as Catalyst long arithmetic)."""
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def z_expr(lat: Column, lon: Column, res: int = Z_RES) -> Column:
+    """Morton/Z-order code interleaving the global quantized (ix, iy) at
+    ``res``. Only the low 16 bits of each axis index are interleaved —
+    within any one TILE_RES tile the high bits are constant, so the code
+    is a total order of the 2^(res-TILE_RES) sub-grid, which is all the
+    row-group clustering needs (res - TILE_RES <= 16)."""
+    sz = F.lit(cells.cell_size_deg(res))
+    ix = F.floor((lat + F.lit(90.0)) / sz).cast("long").bitwiseAND(F.lit(0xFFFF))
+    iy = F.floor((lon + F.lit(180.0)) / sz).cast("long").bitwiseAND(F.lit(0xFFFF))
+    return _spread16(ix).bitwiseOR(F.shiftleft(_spread16(iy), 1)).alias("z_order")
+
+
+def write_spatial_layout(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tile_res: int = TILE_RES,
+    z_res: int = Z_RES,
+) -> None:
+    """Write ``df`` as a tile-partitioned, Z-order-clustered parquet lake.
+
+    ``repartition(tile)`` gives one writer task per tile (no small-file
+    spray: a 1000-executor writer emits one file per tile per shuffle
+    partition, not per task x tile), and ``sortWithinPartitions(tile,
+    z_order)`` clusters each file's row groups spatially. The z_order
+    column is kept in the data: it documents the layout and gives
+    downstream range scans a clustering key to sort-merge on."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    out = df.withColumn(
+        "tile", cells.cell_expr(lat, lon, tile_res)
+    ).withColumn("z_order", z_expr(lat, lon, z_res))
+    (
+        out.repartition("tile")
+        .sortWithinPartitions("tile", "z_order")
+        .write.mode("overwrite")
+        .partitionBy("tile")
+        .parquet(path)
+    )
+
+
+def bbox_tiles(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+    tile_res: int = TILE_RES,
+) -> list[int]:
+    """Driver-side enumeration of the tile ids overlapping a bbox — a few
+    dozen ints even for country-scale boxes at TILE_RES (this is metadata
+    work, deliberately NOT a distributed job)."""
+    sz = cells.cell_size_deg(tile_res)
+    ix0, ix1 = int((lat_min + 90.0) // sz), int((lat_max + 90.0) // sz)
+    iy0, iy1 = int((lon_min + 180.0) // sz), int((lon_max + 180.0) // sz)
+    return [
+        tile_res * cells.R_BASE + ix * cells.IX_BASE + iy
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    ]
+
+
+def read_bbox(
+    spark: SparkSession,
+    path: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tile_res: int = TILE_RES,
+) -> DataFrame:
+    """Bbox scan over a spatial layout: tile IN-list (partition pruning —
+    Spark never lists or opens non-overlapping tile directories) + the
+    exact bounds as residual filters (pushed to parquet row-group stats,
+    which the Z-order clustering keeps tight)."""
+    tiles = bbox_tiles(lat_min, lat_max, lon_min, lon_max, tile_res)
+    df = spark.read.parquet(path)
+    return df.filter(F.col("tile").isin(tiles)).filter(
+        (F.col(lat_col) >= F.lit(lat_min))
+        & (F.col(lat_col) <= F.lit(lat_max))
+        & (F.col(lon_col) >= F.lit(lon_min))
+        & (F.col(lon_col) <= F.lit(lon_max))
+    )

@@ -55,3 +55,79 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir):
         # partition pruning works on the layout
         one_state = back.filter(back.state == "nrw")
         assert "PartitionFilters: [isnotnull(state" in one_state._jdf.queryExecution().executedPlan().toString() or one_state.count() >= 0
+
+
+def test_spatial_layout_pruning_and_equality(spark, sf_dir, tmp_path):
+    """Layout lever: a bbox scan over the tile-partitioned Z-ordered lake
+    must (a) return exactly the brute-force filter's rows, (b) physically
+    touch fewer files (partition pruning), (c) carry the tile IN-list as
+    PartitionFilters, and (d) have each written file Z-order-clustered."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.operators import layout
+    from osm_coverage_spark.sources import derived
+
+    derived.register_derived_views(spark, sf_dir)
+    pts = spark.table("alkis").select("alkis_id", "street", "lat", "lon")
+    path = str(tmp_path / "lake")
+    layout.write_spatial_layout(pts, path)
+
+    bbox = dict(lat_min=50.2, lat_max=50.6, lon_min=6.2, lon_max=6.9)
+    pruned = layout.read_bbox(spark, path, **bbox)
+
+    got = sorted(r["alkis_id"] for r in pruned.select("alkis_id").collect())
+    want = sorted(
+        r["alkis_id"]
+        for r in pts.filter(
+            (F.col("lat") >= 50.2) & (F.col("lat") <= 50.6)
+            & (F.col("lon") >= 6.2) & (F.col("lon") <= 6.9)
+        ).select("alkis_id").collect()
+    )
+    assert got == want and len(got) > 0
+
+    full = spark.read.parquet(path)
+    n_files_full = full.select(F.input_file_name()).distinct().count()
+    n_files_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files_pruned < n_files_full, (n_files_pruned, n_files_full)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lat" in plan
+
+    # every written file is Z-order-clustered (row-group stats stay tight)
+    a_file = next(
+        p for p in (tmp_path / "lake").rglob("*.parquet") if p.is_file()
+    )
+    z = pq.read_table(str(a_file), columns=["z_order"])["z_order"].to_pylist()
+    assert z == sorted(z) and len(z) > 1
+
+
+def test_z_expr_matches_python_morton(spark, sf_dir):
+    """The Catalyst bit-spread must equal a literal per-bit interleave."""
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.geo import cells
+    from osm_coverage_spark.operators import layout
+
+    def morton_py(lat, lon, res):
+        sz = cells.cell_size_deg(res)
+        ix = int((lat + 90.0) // sz) & 0xFFFF
+        iy = int((lon + 180.0) // sz) & 0xFFFF
+        z = 0
+        for b in range(16):
+            z |= ((ix >> b) & 1) << (2 * b)
+            z |= ((iy >> b) & 1) << (2 * b + 1)
+        return z
+
+    from osm_coverage_spark.sources import derived
+
+    derived.register_derived_views(spark, sf_dir)
+    rows = (
+        spark.table("alkis")
+        .select("lat", "lon", layout.z_expr(F.col("lat"), F.col("lon")))
+        .limit(200)
+        .collect()
+    )
+    for r in rows:
+        assert r["z_order"] == morton_py(r["lat"], r["lon"], layout.Z_RES), r
