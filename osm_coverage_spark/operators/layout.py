@@ -122,3 +122,28 @@ def read_bbox(
         & (F.col(lon_col) >= F.lit(lon_min))
         & (F.col(lon_col) <= F.lit(lon_max))
     )
+
+
+def compact_tiles(
+    spark: SparkSession, path: str, out_path: str, target_rows: int = 1 << 20
+) -> None:
+    """Compact a spatial layout into ~``target_rows``-row files per tile,
+    preserving the Z-order clustering.
+
+    Streaming/incremental appends fragment a lake into many small files
+    per tile; at 100 TB the resulting file-listing and per-file open cost
+    dominates scan time (the classic small-file problem). Compaction is a
+    single distributed pass: ``repartitionByRange(n, tile, z_order)``
+    SAMPLES the actual row density (a z-value chunk key couldn't — Morton
+    codes are area-proportional, not row-proportional), so every writer
+    task gets ~target_rows regardless of skew, giant tiles split across
+    tasks on z boundaries, and (tile, z)-adjacent rows stay file-adjacent
+    — compaction never un-clusters the data."""
+    import math
+
+    df = spark.read.parquet(path)
+    n = max(1, math.ceil(df.count() / target_rows))
+    out = df.repartitionByRange(n, "tile", "z_order").sortWithinPartitions(
+        "tile", "z_order"
+    )
+    out.write.mode("overwrite").partitionBy("tile").parquet(out_path)

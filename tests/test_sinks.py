@@ -131,3 +131,45 @@ def test_z_expr_matches_python_morton(spark, sf_dir):
     )
     for r in rows:
         assert r["z_order"] == morton_py(r["lat"], r["lon"], layout.Z_RES), r
+
+
+def test_compact_tiles_defragments_and_preserves_order(spark, sf_dir, tmp_path):
+    """Three appends fragment every tile into 3 files; compaction must cut
+    the file count, keep the exact row multiset, and keep every output
+    file z-sorted."""
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.geo import cells
+    from osm_coverage_spark.operators import layout
+    from osm_coverage_spark.sources import derived
+
+    derived.register_derived_views(spark, sf_dir)
+    pts = spark.table("alkis").select("alkis_id", "lat", "lon")
+    frag = str(tmp_path / "frag")
+    staged = pts.withColumn(
+        "tile", cells.cell_expr(F.col("lat"), F.col("lon"), layout.TILE_RES)
+    ).withColumn("z_order", layout.z_expr(F.col("lat"), F.col("lon")))
+    for _ in range(3):
+        staged.repartition("tile").write.mode("append").partitionBy(
+            "tile"
+        ).parquet(frag)
+
+    def n_files(p):
+        return sum(1 for f in p.rglob("*.parquet") if f.is_file())
+
+    n_before = n_files(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    layout.compact_tiles(spark, frag, compacted, target_rows=10**6)
+    n_after = n_files(tmp_path / "compacted")
+    assert n_after < n_before, (n_before, n_after)
+
+    a = spark.read.parquet(frag).groupBy("alkis_id").count()
+    b = spark.read.parquet(compacted).groupBy("alkis_id").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    import pyarrow.parquet as pq
+
+    for f in (tmp_path / "compacted").rglob("*.parquet"):
+        if f.is_file():
+            z = pq.read_table(str(f), columns=["z_order"])["z_order"].to_pylist()
+            assert z == sorted(z)
