@@ -52,6 +52,29 @@ def q_clean_street_suffixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end layout roundtrip under the oracle gate: write the alkis
+    points as a tile-partitioned Z-ordered lake (operators/layout.py),
+    then answer a bbox query through the pruned reader. The oracle is the
+    plain bbox filter over the same derived table — proving the
+    partition-pruned physical path loses/duplicates nothing at the tile
+    boundaries (the off-by-one-tile class of layout bugs)."""
+    import os
+    import tempfile
+
+    from .operators import layout
+
+    derived.register_derived_views(spark, sf_dir)
+    pts = spark.table("alkis").select("alkis_id", "street", "lat", "lon")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_layout_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    layout.write_spatial_layout(pts, path)
+    out = layout.read_bbox(spark, path, 50.2, 50.9, 6.2, 7.4)
+    return out.select("alkis_id", "street")
+
+
 def q_schema_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic column-rename projection (02:160-260): map a messy source
     profile (strasse/hausnr/plz/ort synthesized from customer) onto the
@@ -226,6 +249,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A = derived.oracle_prelude_alkis_osm()
 
 ORACLE: dict[str, str] = {}
+
+# the layout roundtrip must return exactly the brute-force bbox filter
+ORACLE["spatial_bbox"] = f"""{_A}
+SELECT alkis_id, street FROM alkis
+WHERE lat >= 50.2e0 AND lat <= 50.9e0 AND lon >= 6.2e0 AND lon <= 7.4e0
+"""
 
 ORACLE["remove_ortsteil"] = f"""{_A},
 raw AS (
@@ -445,4 +474,5 @@ QUERIES = {
     "list_specific_streets": q_list_specific_streets,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "spatial_bbox": q_spatial_bbox,
 }

@@ -61,6 +61,11 @@ check on them every session:
 - housename_variants — retired r5 for events_pivot: the variant
   expansion / explode family keeps three in-window representatives
   (expand_ranges, expand_separators, carry_forward_split).
+- spatial_bbox — the tile-partitioned Z-order layout roundtrip
+  (operators/layout.py write -> pruned bbox read vs brute-force-filter
+  oracle); added r5 straight into the retired (module-tested) set: its
+  scan/filter shapes are already represented in-window, the new value is
+  the physical-layout proof, which the per-module oracle test carries.
 """
 
 from __future__ import annotations
@@ -88,6 +93,7 @@ RETIRED = {
     "history_adjust",
     "doc_fingerprint",
     "housename_variants",
+    "spatial_bbox",
 }
 
 DRIVER_GATE_CAP = 50
