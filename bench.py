@@ -108,6 +108,24 @@ def main() -> None:
     calibration = round(min(_calibrate() for _ in range(2)), 3)
     print(f"  calibration jvm_burn: {calibration:.2f}s", file=sys.stderr)
 
+    # Second calibration axis: the SHUFFLE path (serialize → lz4 → disk →
+    # loopback fetch). r5 observation: sessions can drift on the memory/
+    # shuffle path while the CPU burn stays flat (wide-shuffle queries
+    # +30% at identical jvm_burn), so weather adjudication needs both
+    # probes — compare a round's pair against another round's pair.
+    def _calibrate_shuffle() -> float:
+        t0 = time.perf_counter()
+        # parts=64: at 512 map tasks the probe times task DISPATCH
+        # (~15 ms/task on this box), not the shuffle path it calibrates
+        queries_scaling.scale_shuffle_probe(
+            spark, sf_dir, mult=200, parts=64
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    _calibrate_shuffle()  # untimed warm
+    calibration_shuffle = round(min(_calibrate_shuffle() for _ in range(2)), 3)
+    print(f"  calibration shuffle: {calibration_shuffle:.2f}s", file=sys.stderr)
+
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in bench:
@@ -122,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_jvm_burn_sec": calibration,
+        "calibration_shuffle_sec": calibration_shuffle,
     }
     print(json.dumps(out))
 

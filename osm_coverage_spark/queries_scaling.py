@@ -224,7 +224,7 @@ def _synth_osm_from(spark: SparkSession, n_alkis: int, n_osm: int,
 
 
 def scale_shuffle_probe(spark: SparkSession, sf_dir: str,
-                        mult: int = 2000) -> DataFrame:
+                        mult: int = 2000, parts: int = 512) -> DataFrame:
     """BOX PROBE, not an engine kernel: one bare hash repartition of 200M
     longs. Measures the host's shuffle path (serialize → lz4 → local disk →
     fetch over loopback → deserialize) in isolation — the single-host
@@ -233,7 +233,7 @@ def scale_shuffle_probe(spark: SparkSession, sf_dir: str,
     efficiency can be decomposed into compute (scales, see kernels) vs
     shuffle (box-capped, this number)."""
     n = 100_000 * mult
-    r = spark.range(0, n, 1, 512)
+    r = spark.range(0, n, 1, parts)
     return r.repartition(128, F.col("id") % 1_000_003).select(
         (F.col("id") * 3 % 7).alias("v")
     )
