@@ -124,26 +124,12 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form — an equality join on that candidate (never a bare
     inequality join: DuckDB 1.0 IEJoin livelock, FIXTURES.md).
     """
+    from .operators.intervals import interval_join
+
     ev = _events_us(spark, sf_dir)
     iv = _intervals(spark)
-    iv_cells = iv.select(
-        "interval_id",
-        "start_us",
-        "severity",
-        F.explode(
-            F.array(
-                F.expr(f"start_us DIV {CELL_US}"),
-                F.expr(f"(start_us + {IV_LEN_US} - 1) DIV {CELL_US}"),
-            )
-        ).alias("cell"),
-    )
-    hits = (
-        ev.withColumn("cell", F.expr(f"ts_us DIV {CELL_US}"))
-        .join(F.broadcast(iv_cells), "cell")
-        .filter(
-            (F.col("ts_us") >= F.col("start_us"))
-            & (F.col("ts_us") < F.col("start_us") + F.lit(IV_LEN_US))
-        )
+    hits = interval_join(
+        ev, iv, len_us=IV_LEN_US, cell_us=CELL_US, hint_broadcast=True
     )
     return hits.groupBy("interval_id", "severity").agg(
         F.count(F.lit(1)).alias("n_events"),

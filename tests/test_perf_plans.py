@@ -405,3 +405,39 @@ def test_range_join_is_broadcast_stencil(spark, sf_dir):
     plan = _plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interval_join_hash_path_without_broadcast(spark, sf_dir):
+    """The 100 TB degradation path: with a fact-sized interval table (no
+    broadcast hint, auto-broadcast off) the stencil join must become a
+    shuffled equi-join on the time cell — still never a NestedLoop."""
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark import queries_events as qe
+    from osm_coverage_spark.operators.intervals import interval_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = qe._events_us(spark, sf_dir)
+        iv = qe._intervals(spark)
+        hits = interval_join(
+            ev, iv, len_us=qe.IV_LEN_US, cell_us=qe.CELL_US,
+            hint_broadcast=False,
+        ).groupBy("interval_id").agg(F.count(F.lit(1)).alias("n"))
+        hits.collect()
+        plan = _plan(hits).split("== Initial Plan ==")[0]
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), plan
+        # same answer as the broadcast path
+        want = {
+            (r["interval_id"], r["severity"], r["n_events"], r["sum_value_e2"])
+            for r in qe.q_events_range_join(spark, sf_dir).collect()
+        }
+        got = {r["interval_id"]: r["n"] for r in hits.collect()}
+        assert got == {k[0]: k[2] for k in want}
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
