@@ -126,7 +126,17 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing EVERY level straight from lat/lon — an independent
     derivation of the same pyramid.
     """
-    img = _images(spark, sf_dir)
+    return pyramid_counts(_images(spark, sf_dir))
+
+
+def pyramid_counts(img: DataFrame, sign_col: str | None = None) -> DataFrame:
+    """The pyramid aggregation over any (lat, lon, w, h) point set.
+
+    ``sign_col`` (+1/-1 per row) turns the same plan into a DELTA
+    pyramid over a changelog batch (insert=+1, delete=-1) — the
+    incremental-view-maintenance path (streaming/incremental.
+    maintain_pyramid); None is the plain full build."""
+    sign = F.col(sign_col) if sign_col else F.lit(1)
     base_res = PYRAMID_LEVELS[0]
     base = (
         img.withColumn(
@@ -134,8 +144,8 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.sum(F.col("w").cast("long") * F.col("h")).alias("px_sum"),
+            F.sum(sign).cast("long").alias("n_images"),
+            F.sum(sign * F.col("w").cast("long") * F.col("h")).alias("px_sum"),
         )
     )
     ancestors = base.select(

@@ -125,3 +125,45 @@ def sync_incremental(
         control_path
     )
     return stats
+
+
+def maintain_pyramid(pyramid: DataFrame, changes: DataFrame) -> DataFrame:
+    """Incremental view maintenance for the tile-pyramid rollup: apply a
+    changelog batch (rows + ``_change_type`` from ``tables.read_changes``)
+    to a materialized pyramid WITHOUT recomputing the base table.
+
+    The pyramid aggregate is a signed sum, so maintenance is exact: the
+    delta pyramid over the batch (insert=+1, delete=-1 — an update is its
+    pre/post-image pair, which moves counts between cells atomically)
+    full-outer-merged into the existing counts on (res, cell), dropping
+    rows that reach zero. Cost at 100 TB per tick: one aggregation of the
+    (small) changelog batch + one shuffle join against the pyramid —
+    whose row count is DISTINCT CELLS, orders of magnitude below the base
+    table the full rebuild would scan. In the Iceberg runtime the final
+    merge is `MERGE INTO pyramid ON (res, cell)` instead of the join
+    (same shape, index-assisted)."""
+    from ..queries_graft import pyramid_counts
+
+    signed = changes.withColumn(
+        "_sign",
+        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+    )
+    deltas = (
+        pyramid_counts(signed, sign_col="_sign")
+        .withColumnRenamed("n_images", "_dn")
+        .withColumnRenamed("px_sum", "_dpx")
+    )
+    return (
+        pyramid.join(deltas, ["res", "cell"], "full_outer")
+        .select(
+            "res",
+            "cell",
+            (F.coalesce("n_images", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
+            .cast("long")
+            .alias("n_images"),
+            (F.coalesce("px_sum", F.lit(0)) + F.coalesce("_dpx", F.lit(0)))
+            .cast("long")
+            .alias("px_sum"),
+        )
+        .filter(F.col("n_images") != 0)
+    )

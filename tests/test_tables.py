@@ -318,3 +318,51 @@ def test_merge_schema_evolution(spark, tmp_path):
                         evolve_schema=True)
     rows = {r["name"]: r for r in tables.read_table(spark, target).collect()}
     assert rows["a"]["n"] == 9 and rows["a"]["note"] is None
+
+
+def test_incremental_pyramid_maintenance_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """IVM contract: pyramid(v1) + changelog-deltas(v1→v2) must equal the
+    full pyramid rebuild over v2 — across inserts, and updates that MOVE
+    points between cells (pre/post-image pair)."""
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.queries_graft import pyramid_counts
+    from osm_coverage_spark.sources import derived, tables
+    from osm_coverage_spark.streaming import incremental
+
+    derived.register_derived_views(spark, sf_dir)
+    img = spark.table("images").select("image_id", "lat", "lon", "w", "h")
+    target = str(tmp_path / "img_table")
+    tables.write_table(img, target)
+
+    pyr1 = incremental_base = pyramid_counts(tables.read_table(spark, target))
+    pyr1_rows = incremental_base.collect()  # materialize BEFORE the commit
+
+    # commit: move every 7th image ~2 base cells north + grow it, and
+    # insert 10 brand-new images in a fresh area
+    img_no = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    moved = (
+        img.filter(img_no % 7 == 0)
+        .withColumn("lat", F.col("lat") + F.lit(0.025))
+        .withColumn("w", F.col("w") + F.lit(8))
+    )
+    fresh = spark.range(10).select(
+        F.concat(F.lit("new_"), F.col("id").cast("string")).alias("image_id"),
+        (F.lit(53.5) + F.col("id") * 0.001).alias("lat"),
+        (F.lit(9.9) + F.col("id") * 0.001).alias("lon"),
+        F.lit(64).cast("int").alias("w"),
+        F.lit(48).cast("int").alias("h"),
+    )
+    tables.merge_upsert(
+        spark, target, moved.unionByName(fresh), ("image_id",)
+    )
+    assert tables.current_version(target) == 2
+
+    changes = tables.read_changes(spark, target, 1, 2)
+    pyr1_df = spark.createDataFrame(pyr1_rows, pyr1.schema)
+    inc = incremental.maintain_pyramid(pyr1_df, changes)
+    full = pyramid_counts(tables.read_table(spark, target))
+
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) > 0
