@@ -183,3 +183,20 @@ def test_winnowing_shared_substring_guarantee(spark):
     h = {i: set(out[out.doc_id == i].gram_hash) for i in (1, 2, 3)}
     assert h[1] & h[2], "shared substring must fingerprint"
     assert not (h[1] & h[3]) and not (h[2] & h[3])
+
+
+@given(
+    st.integers(0, 10**15),  # interval start (epoch us)
+    st.integers(1, 10**9),   # cell width C
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_stencil_is_complete(start, cell, data):
+    """operators/intervals.py completeness condition: when interval length
+    L <= cell width C, EVERY timestamp inside [start, start+L) falls in
+    one of the interval's two stencil cells {start//C, (start+L-1)//C} —
+    so the cell equi-join can never drop a true match (false positives
+    are removed by the residual filter, which is trivially sound)."""
+    length = data.draw(st.integers(1, cell))
+    t = start + data.draw(st.integers(0, length - 1))
+    assert t // cell in {start // cell, (start + length - 1) // cell}
