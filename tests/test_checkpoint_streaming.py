@@ -224,3 +224,68 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     assert got.equals(want), (got.compare(want) if len(got) == len(want) else "len")
+
+
+def test_streaming_sessionize_timeout_flushes_tails(spark, tmp_path):
+    """Liveness branch: a user whose stream simply STOPS must still get
+    their open-tail session emitted once the event-time watermark (driven
+    by OTHER users' progress) passes last_seen + gap — the
+    EventTimeTimeout path, with no sentinel for the stopped users."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osm_coverage_spark.streaming.stateful import sessionize_event_time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = 1_704_067_200_000_000
+    day = 86_400_000_000
+
+    def mk(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long, val_e2 long"
+        ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        return df
+
+    def write_one(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+
+    # batch 0: three users, two events each (one session per user), then
+    # they go silent forever
+    rows0 = []
+    for u in (1, 2, 3):
+        rows0 += [(u, t0 + u * 1000, u * 10, 5), (u, t0 + u * 1000 + 60_000_000, u * 10 + 1, 7)]
+    write_one(mk(rows0), "b0")
+    # batches 1..2: an unrelated user keeps the event-time clock moving
+    write_one(mk([(99, t0 + 10 * day, 990, 1)]), "b1")
+    write_one(mk([(99, t0 + 20 * day, 991, 1)]), "b2")
+
+    df0 = mk(rows0)
+    stream = (
+        spark.readStream.schema(df0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize_event_time(stream)
+        .writeStream.format("memory")
+        .queryName("sess_timeout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: (r["start_us"], r["end_us"], r["n_events"], r["sum_value_e2"])
+        for r in spark.table("sess_timeout").filter(F.col("user_id") < 99).collect()
+    }
+    assert got == {
+        u: (t0 + u * 1000, t0 + u * 1000 + 60_000_000, 2, 12) for u in (1, 2, 3)
+    }, got
