@@ -142,6 +142,72 @@ FROM ig i JOIN polys p
 GROUP BY 1, 2
 """
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired audio roundtrip (upgrades the audio modality from
+    test-only to gate-checked): deterministic int16 PCM per document →
+    REAL RIFF/WAVE container bytes (stdlib `wave` writer) → parsed back
+    by the engine's WAV parser (`images/ops._parse_wav`) → integer sample
+    statistics. Sample i of clip d is ((d*31 + i*7) % 65536) - 32768, so
+    the DuckDB oracle recomputes every statistic in closed form from
+    range() arithmetic without touching a byte — any header, width,
+    endianness, or framing bug in the writer OR parser breaks parity.
+    Integer outputs only (sum|x|, max|x|) — no FP in compared columns."""
+    derived.load_testdata(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(nch) % 2048 + 256
+                sr = 8000 + (int(did) % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((int(did) * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(pcm.tobytes())
+                rows.append((int(did), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    clips = docs.mapInPandas(gen, "clip_id long, bytes binary")
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .images.ops import _parse_wav
+
+        for pdf in batches:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                pcm, sr, ch = _parse_wav(bytes(data))
+                a = np.abs(pcm.astype(np.int64))
+                rows.append(
+                    (int(cid), int(sr), int(ch), int(len(pcm)),
+                     int(a.sum()), int(a.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "sample_rate", "channels", "n_samples",
+                         "sum_abs", "peak_abs"],
+            )
+
+    return clips.mapInPandas(
+        feats,
+        "clip_id long, sample_rate int, channels int, n_samples long, "
+        "sum_abs long, peak_abs long",
+    )
+
+
 QUERIES = {
     "pip_zones": q_pip_zones,
     "raster_vector_join": q_raster_vector_join,
@@ -149,4 +215,22 @@ QUERIES = {
     "image_features": q_image_features,
     "image_frame_sample": q_image_frame_sample,
     "image_resize": q_image_resize,
+    "audio_features": q_audio_features,
 }
+
+# audio: every statistic recomputed in closed form from the PCM formula —
+# the WAV writer/parser roundtrip must agree with pure arithmetic
+ORACLE["audio_features"] = """
+WITH d AS (
+  SELECT doc_id, n_chars % 2048 + 256 AS n,
+         8000 + CAST(doc_id % 3 AS INT) * 4000 AS sr
+  FROM documents
+), s AS (
+  SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM d
+)
+SELECT doc_id AS clip_id, CAST(sr AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(abs(((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(((doc_id * 31 + i * 7) % 65536) - 32768)) AS BIGINT) AS peak_abs
+FROM s GROUP BY doc_id, sr, n
+"""

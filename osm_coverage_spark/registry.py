@@ -66,6 +66,11 @@ check on them every session:
   oracle); added r5 straight into the retired (module-tested) set: its
   scan/filter shapes are already represented in-window, the new value is
   the physical-layout proof, which the per-module oracle test carries.
+- audio_features — WAV writer→parser roundtrip vs a closed-form PCM
+  oracle (upgrades the audio modality from test-only to gate-checked);
+  added r5 straight into the retired (module-tested) set: the
+  mapInPandas codec family is represented in-window by the image
+  queries.
 """
 
 from __future__ import annotations
@@ -94,6 +99,7 @@ RETIRED = {
     "doc_fingerprint",
     "housename_variants",
     "spatial_bbox",
+    "audio_features",
 }
 
 DRIVER_GATE_CAP = 50
