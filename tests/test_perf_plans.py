@@ -441,3 +441,18 @@ def test_interval_join_hash_path_without_broadcast(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join's whole point vs a theta-join: union-and-window costs
+    ONE exchange (hash on user_id) — no range join, no per-user blowup."""
+    import re
+
+    from osm_coverage_spark import queries_coverage as qc
+
+    df = qc.q_events_asof(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    assert len(shuffles) == 1, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
