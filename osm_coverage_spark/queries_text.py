@@ -202,6 +202,54 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 50   # every 50th document is the held-out "benchmark" set
+DECON_TAU = 0.5  # min fp coverage of the EVAL doc's sketch to flag
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/eval twin of
+    q_dedup_substring: flag every training document sharing winnowing
+    fingerprints that cover >= DECON_TAU of some eval document's sketch
+    (substring-level overlap, the leakage that inflates benchmark
+    scores). Same MOSS df-cut first: fingerprints ubiquitous across the
+    corpus are template boilerplate, not leaked eval content.
+
+    Scale shape: one sketch pass + ONE shuffle on gram_hash (the df
+    window); the eval side is dimension-sized by construction (benchmarks
+    are thousands of docs against a 10^12-doc corpus) so the probe is a
+    BROADCAST join - the train corpus is never shuffled again, and a
+    bigger corpus changes nothing about the eval side's size. Coverage is
+    measured against the EVAL sketch (asymmetric, unlike dedup's
+    least-side): a tiny eval doc fully contained in a huge train doc is
+    exactly the leak to catch."""
+    derived.load_testdata(spark, sf_dir)
+    sk = winnow(spark.table("documents")).select("doc_id", "gram_hash").distinct()
+    kept = (
+        sk.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
+        )
+        .filter(F.col("_df") <= SUBSTR_DF_CAP)
+        .drop("_df")
+    )
+    ev = (
+        kept.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumn("ne", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    tr = kept.filter(F.col("doc_id") % EVAL_MOD != 0)
+    agg = (
+        tr.join(F.broadcast(ev), "gram_hash")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"), F.max("ne").alias("_ne"))
+    )
+    cov = F.round(F.col("shared_fps").cast("double") / F.col("_ne"), 9)
+    return (
+        agg.withColumn("coverage", cov)
+        .filter(F.col("coverage") >= F.lit(DECON_TAU))
+        .select("doc_id", "eval_id", "shared_fps", "coverage")
+    )
+
+
 JACCARD_TAU = 0.6
 
 
@@ -947,6 +995,37 @@ WHERE round(CAST(shared_fps AS DOUBLE) / least(na, nb), 9) >= {SUBSTR_TAU}
 """
 
 
+ORACLE["decontaminate"] = f"""
+WITH {_winnow_sketch_cte("documents")},
+sk AS (
+  SELECT DISTINCT doc_id, CAST(m // {_WINNOW_POS_FIELD} AS BIGINT) AS gram_hash
+  FROM wm
+),
+kept AS (
+  SELECT doc_id, gram_hash FROM (
+    SELECT doc_id, gram_hash,
+           count(*) OVER (PARTITION BY gram_hash) AS dfreq
+    FROM sk
+  ) WHERE dfreq <= {SUBSTR_DF_CAP}
+),
+ev AS (
+  SELECT doc_id AS eval_id, gram_hash,
+         count(*) OVER (PARTITION BY doc_id) AS ne
+  FROM kept WHERE doc_id % {EVAL_MOD} = 0
+),
+tr AS (SELECT doc_id, gram_hash FROM kept WHERE doc_id % {EVAL_MOD} <> 0),
+agg AS (
+  SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS shared_fps,
+         max(ev.ne) AS ne
+  FROM tr JOIN ev USING (gram_hash) GROUP BY 1, 2
+)
+SELECT doc_id, eval_id, shared_fps,
+       round(CAST(shared_fps AS DOUBLE) / ne, 9) AS coverage
+FROM agg WHERE round(CAST(shared_fps AS DOUBLE) / ne, 9) >= {DECON_TAU}
+"""
+
+
+
 # --------------------------------------------------------------------------
 # Training-mix assembly: deterministic stratified quota sampling. Strata =
 # language; per-stratum quota = the mixture weights a curation pipeline
@@ -1206,6 +1285,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnowing": q_doc_winnowing,
     "dedup_substring": q_dedup_substring,
+    "decontaminate": q_decontaminate,
     "mix_sample": q_mix_sample,
     "mix_assembly": q_mix_assembly,
     "pack_sequences": q_pack_sequences,

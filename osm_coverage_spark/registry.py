@@ -71,6 +71,11 @@ check on them every session:
   added r5 straight into the retired (module-tested) set: the
   mapInPandas codec family is represented in-window by the image
   queries.
+- decontaminate — train/eval benchmark-leakage flagging (winnowing
+  overlap vs the held-out set, broadcast eval probe); the sketch/pair
+  machinery is represented in-window by doc_winnowing and
+  dedup_substring; added r5 straight into the retired (module-tested)
+  set.
 """
 
 from __future__ import annotations
@@ -100,6 +105,7 @@ RETIRED = {
     "housename_variants",
     "spatial_bbox",
     "audio_features",
+    "decontaminate",
 }
 
 DRIVER_GATE_CAP = 50
