@@ -288,3 +288,82 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_pivot": q_events_pivot,
 }
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (sequential pattern matching): per user, the
+    earliest signup, the earliest click AT OR AFTER that signup, and the
+    earliest purchase at or after that click — the classic conversion
+    funnel, with per-user step timestamps (null = fell out).
+
+    Scale shape: three conditional-min aggregations, all keyed on
+    user_id. The first is the only full shuffle of the events table; the
+    step-2/step-3 refinements join the (tiny, one-row-per-user) frontier
+    back to the already-partitioned events — each is a shuffle of
+    |users| rows, not |events|. No window over the whole event list, no
+    per-user sort: conditional min is a partial-aggregating one-pass.
+    The DuckDB oracle is the same three-stage refinement spelled as
+    chained CTEs."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    t1 = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))
+        ).alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STEPS[1])
+                    & (F.col("ts_us") >= F.col("t1")),
+                    F.col("ts_us"),
+                )
+            ).alias("t2"),
+        )
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == FUNNEL_STEPS[2])
+                    & (F.col("ts_us") >= F.col("t2")),
+                    F.col("ts_us"),
+                )
+            ).alias("t3"),
+        )
+    )
+    return t3.filter(F.col("t1").isNotNull()).select("user_id", "t1", "t2", "t3")
+
+
+ORACLE["events_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1
+  FROM ev GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, max(s1.t1) AS t1,
+         min(CASE WHEN ev.event_type = 'click' AND ev.ts_us >= s1.t1
+                  THEN ev.ts_us END) AS t2
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, max(s2.t1) AS t1, max(s2.t2) AS t2,
+         min(CASE WHEN ev.event_type = 'purchase' AND ev.ts_us >= s2.t2
+                  THEN ev.ts_us END) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id GROUP BY ev.user_id
+)
+SELECT user_id, t1, t2, t3 FROM s3 WHERE t1 IS NOT NULL
+"""
+
+QUERIES["events_funnel"] = q_events_funnel

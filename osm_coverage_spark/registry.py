@@ -76,6 +76,10 @@ check on them every session:
   machinery is represented in-window by doc_winnowing and
   dedup_substring; added r5 straight into the retired (module-tested)
   set.
+- events_funnel — ordered conversion funnel (three chained conditional-
+  min refinements on user_id); the events family already holds five
+  in-window representatives; added r5 straight into the retired
+  (module-tested) set.
 """
 
 from __future__ import annotations
@@ -106,6 +110,7 @@ RETIRED = {
     "spatial_bbox",
     "audio_features",
     "decontaminate",
+    "events_funnel",
 }
 
 DRIVER_GATE_CAP = 50

@@ -20,10 +20,10 @@ def test_retired_entries_stay_module_tested():
     assert set(registry.RETIRED_ORACLE) == registry.RETIRED
     # each retired name still sits in its home module's QUERIES dict,
     # which the per-family oracle tests parametrize over
-    from osm_coverage_spark import (queries_coverage, queries_graft,
-                                    queries_history, queries_images,
-                                    queries_misc, queries_text,
-                                    queries_tpch)
+    from osm_coverage_spark import (queries_coverage, queries_events,
+                                    queries_graft, queries_history,
+                                    queries_images, queries_misc,
+                                    queries_text, queries_tpch)
 
     module_names = (
         set(queries_tpch.QUERIES)
@@ -33,5 +33,6 @@ def test_retired_entries_stay_module_tested():
         | set(queries_text.QUERIES)
         | set(queries_coverage.QUERIES)
         | set(queries_history.QUERIES)
+        | set(queries_events.QUERIES)
     )
     assert registry.RETIRED <= module_names
