@@ -171,6 +171,51 @@ def pyramid_counts(img: DataFrame, sign_col: str | None = None) -> DataFrame:
     )
 
 
+HEAT_W_CENTER, HEAT_W_EDGE, HEAT_W_CORNER = 4, 2, 1
+
+
+def q_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster convolution on the cell grid: 3x3 neighbor-weighted
+    smoothing (integer kernel 4/2/1 — center/edge/corner) of the coarse
+    tile counts, i.e. the heatmap/KDE pass every density map runs.
+
+    Scale shape: convolution as SCATTER-ADD ON THE AGGREGATE — the base
+    table is shuffled once into per-cell counts, then each cell explodes
+    to its 9 (neighbor, weight) contributions via pure cell-id
+    arithmetic (neighbor = cell + dx*IX_BASE + dy) and one second, tiny
+    shuffle (9x the CELL count, map-side combined) sums the heat. Never
+    a convolution over raw points, never a self-join of the raster. The
+    integer kernel keeps the oracle exact (no FP in compared columns)."""
+    img = _images(spark, sf_dir)
+    counts = (
+        img.withColumn(
+            "cell", cells.cell_expr(F.col("lat"), F.col("lon"), COARSE_RES)
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    contribs = counts.select(
+        "cell",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("k"),
+    ).select(
+        (
+            F.col("cell")
+            + (F.col("k") / 3).cast("long").cast("long") * cells.IX_BASE
+            - cells.IX_BASE
+            + (F.col("k") % 3) - 1
+        ).alias("cell"),
+        F.when(F.col("k") == 4, F.lit(HEAT_W_CENTER))
+        .when((F.col("k") % 2) == 1, F.lit(HEAT_W_EDGE))
+        .otherwise(F.lit(HEAT_W_CORNER))
+        .alias("w"),
+        "n",
+    )
+    return contribs.groupBy("cell").agg(
+        F.sum(F.col("n") * F.col("w")).cast("long").alias("heat")
+    )
+
+
 def q_image_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = _images(spark, sf_dir)
     return img.groupBy("fmt").agg(
@@ -205,6 +250,21 @@ ORACLE["image_tile_counts"] = f"""{_prelude()}
 SELECT {_CELL_COARSE} AS cell, CAST(count(*) AS BIGINT) AS n_images
 FROM images GROUP BY 1
 """
+
+# convolution oracle: identical scatter-add spelled over unnest(range(0,9))
+ORACLE["tile_heatmap"] = f"""{_prelude()},
+counts AS (
+  SELECT {_CELL_COARSE} AS cell, CAST(count(*) AS BIGINT) AS n
+  FROM images GROUP BY 1
+),
+contrib AS (
+  SELECT cell + (k // 3 - 1) * {cells.IX_BASE} + (k % 3 - 1) AS cell,
+         CASE WHEN k = 4 THEN 4 WHEN k % 2 = 1 THEN 2 ELSE 1 END AS w, n
+  FROM (SELECT cell, n, unnest(range(0, 9)) AS k FROM counts)
+)
+SELECT cell, CAST(sum(n * w) AS BIGINT) AS heat FROM contrib GROUP BY cell
+"""
+
 
 _KNN_DIST = haversine_m_sql("q.lat", "q.lon", "t.lat", "t.lon")
 
@@ -268,5 +328,6 @@ QUERIES = {
     "knn_images": q_knn_images,
     "phash_neardup": q_phash_neardup,
     "tile_pyramid": q_tile_pyramid,
+    "tile_heatmap": q_tile_heatmap,
     "image_meta_stats": q_image_meta_stats,
 }

@@ -80,6 +80,10 @@ check on them every session:
   min refinements on user_id); the events family already holds five
   in-window representatives; added r5 straight into the retired
   (module-tested) set.
+- tile_heatmap — 3×3 integer-kernel raster convolution (scatter-add on
+  the cell aggregate); the tiling family keeps tile_pyramid and
+  raster_vector_join in-window; added r5 straight into the retired
+  (module-tested) set.
 """
 
 from __future__ import annotations
@@ -111,6 +115,7 @@ RETIRED = {
     "audio_features",
     "decontaminate",
     "events_funnel",
+    "tile_heatmap",
 }
 
 DRIVER_GATE_CAP = 50
