@@ -456,3 +456,16 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
     assert len(shuffles) == 1, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
+    """The eval/benchmark probe must broadcast (dimension-sized by
+    construction) — the train corpus is shuffled once for the df window
+    and never again for the join."""
+    from osm_coverage_spark import queries_text as qt
+
+    df = qt.q_decontaminate(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
