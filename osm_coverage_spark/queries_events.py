@@ -299,50 +299,53 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest purchase at or after that click — the classic conversion
     funnel, with per-user step timestamps (null = fell out).
 
-    Scale shape: three conditional-min aggregations, all keyed on
-    user_id. The first is the only full shuffle of the events table; the
-    step-2/step-3 refinements join the (tiny, one-row-per-user) frontier
-    back to the already-partitioned events — each is a shuffle of
-    |users| rows, not |events|. No window over the whole event list, no
-    per-user sort: conditional min is a partial-aggregating one-pass.
-    The DuckDB oracle is the same three-stage refinement spelled as
-    chained CTEs."""
+    Scale shape: ONE scan, ONE shuffle. The three step refinements are
+    chained UNORDERED windows over the same user_id partitioning (each
+    conditional min reads the previous step's column, so they stack on a
+    single exchange with no sort — an unordered window frame is the
+    whole partition), and the closing groupBy(user_id) reuses that
+    partitioning too (plan-asserted). The naive formulation — aggregate,
+    join back, re-aggregate, twice — scans the events table three times;
+    at 100 TB the rescans are the whole cost. The DuckDB oracle IS that
+    naive three-stage join-back refinement: structurally different plan,
+    same answer."""
     ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
-    t1 = ev.groupBy("user_id").agg(
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
         F.min(
             F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))
-        ).alias("t1")
+        ).over(w),
     )
-    t2 = (
-        ev.join(t1, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.max("t1").alias("t1"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == FUNNEL_STEPS[1])
-                    & (F.col("ts_us") >= F.col("t1")),
-                    F.col("ts_us"),
-                )
-            ).alias("t2"),
-        )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1])
+                & (F.col("ts_us") >= F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(w),
     )
-    t3 = (
-        ev.join(t2, "user_id")
-        .groupBy("user_id")
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2])
+                & (F.col("ts_us") >= F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return (
+        s3.groupBy("user_id")
         .agg(
             F.max("t1").alias("t1"),
             F.max("t2").alias("t2"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == FUNNEL_STEPS[2])
-                    & (F.col("ts_us") >= F.col("t2")),
-                    F.col("ts_us"),
-                )
-            ).alias("t3"),
+            F.max("t3").alias("t3"),
         )
+        .filter(F.col("t1").isNotNull())
     )
-    return t3.filter(F.col("t1").isNotNull()).select("user_id", "t1", "t2", "t3")
 
 
 ORACLE["events_funnel"] = """

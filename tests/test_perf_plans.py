@@ -469,3 +469,19 @@ def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_is_single_scan_single_shuffle(spark, sf_dir):
+    """The chained-window funnel must cost ONE exchange and ONE scan of
+    the events table — the naive aggregate/join-back/re-aggregate shape
+    (the oracle's plan) scans it three times."""
+    import re
+
+    from osm_coverage_spark import queries_events as qe
+
+    df = qe.q_events_funnel(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    assert len(shuffles) == 1, plan
+    assert plan.count("events.parquet") <= 1, plan
