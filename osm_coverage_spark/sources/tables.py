@@ -325,3 +325,56 @@ def merge_upsert(
     raise RuntimeError(
         f"merge_upsert: gave up after {max_retries} concurrent-commit retries"
     )
+
+
+def rollback_table(target: str, version: int, timeout_s: float = 5.0) -> int:
+    """Iceberg `rollback_to_snapshot` analog: make the retained snapshot
+    ``version`` the LIVE table state again — as a NEW commit, never by
+    rewriting history (the replaced live state is itself retained as the
+    next snapshot, so a rollback is visible in the log and `read_changes`
+    across it yields the inverse diff of the commits it undid).
+
+    Runs under the same ``__commitlock`` as merge_upsert/expire_snapshots
+    with the identical crash-safe swap: at any instant either the old or
+    the new live directory exists. Returns the new live version id."""
+    import os
+    import shutil
+    import time
+
+    log = _read_snaplog(target)
+    entry = next((e for e in log if e["id"] == version), None)
+    if entry is None:
+        raise ValueError(
+            f"snapshot {version} of {target} not retained "
+            f"(have {[e['id'] for e in log]})"
+        )
+    staging = f"{target}__rollback_tmp"
+    bak = f"{target}__rollback_bak"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.copytree(entry["dir"], staging)
+
+    lock = f"{target}__commitlock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise TimeoutError(
+                    f"rollback_table: commit lock {lock} busy > {timeout_s}s"
+                )
+            time.sleep(0.02)
+    try:
+        os.rename(target, bak)
+        try:
+            os.rename(staging, target)
+        except Exception:
+            os.rename(bak, target)
+            raise
+        _append_snapshot(target, bak)
+        return current_version(target)
+    finally:
+        os.close(fd)
+        os.unlink(lock)

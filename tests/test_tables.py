@@ -366,3 +366,38 @@ def test_incremental_pyramid_maintenance_equals_full_rebuild(spark, sf_dir, tmp_
     got = sorted(map(tuple, inc.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want and len(got) > 0
+
+
+def test_rollback_table_restores_and_preserves_history(spark, tmp_path):
+    """Rollback contract: live state returns to the target snapshot, the
+    undone state is itself retained (history is append-only, never
+    rewritten), and read_changes across the rollback is the inverse of
+    the diff it undid."""
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    )
+    base.write.parquet(target)
+    tables.merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([("b", 20), ("c", 30)], "k string, v int"),
+        ("k",),
+    )
+    assert tables.current_version(target) == 2
+
+    new_live = tables.rollback_table(target, 1)
+    assert new_live == 3
+    # live state == snapshot 1 exactly
+    assert sorted(map(tuple, tables.read_table(spark, target).collect())) == [
+        ("a", 1), ("b", 2)
+    ]
+    # the undone v2 state is retained as snapshot 2 (history preserved)
+    assert tables.snapshots(target) == [1, 2]
+    assert sorted(
+        map(tuple, tables.read_table_at(spark, target, 2).collect())
+    ) == [("a", 1), ("b", 20), ("c", 30)]
+    # changelog across the rollback = inverse of the merge's diff
+    ch = {(r["_change_type"], r["k"], r["v"])
+          for r in tables.read_changes(spark, target, 2, 3).collect()}
+    assert ch == {("delete", "b", 20), ("delete", "c", 30), ("insert", "b", 2)}
