@@ -1,6 +1,7 @@
 """Event-stream batch operator family over the `events` table: gaps-and-
 islands sessionization, interval (1-D range) join via a time-bucket
-stencil, exact grouped order statistics, and pivot/wide reshape.
+stencil, exact grouped order statistics, pivot/wide reshape, and the
+ordered conversion funnel.
 
 These are the batch twins of the reference's incremental/watch loop
 shapes (SURVEY §2.5/§2.10; ref watch loop 06:40-86 re-aggregates per
