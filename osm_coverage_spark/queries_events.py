@@ -371,3 +371,44 @@ SELECT user_id, t1, t2, t3 FROM s3 WHERE t1 IS NOT NULL
 """
 
 QUERIES["events_funnel"] = q_events_funnel
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    day (the cohort), counted on each subsequent day they return —
+    (cohort_day, day_offset, n_users), the matrix every growth dashboard
+    plots.
+
+    Scale shape: one distinct (user, day) aggregation (shuffle 1, events
+    collapse to user-days), one per-user min (shuffle on user_id — reuses
+    nothing but is |user-days| rows, not |events|), then a broadcast of
+    the one-row-per-user cohort map back onto user-days and a final
+    count. The events table is scanned once; nothing downstream of the
+    first aggregate is event-sized."""
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us DIV {86_400_000_000}").alias("day")
+    )
+    user_days = ev.distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE["events_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY c.cohort_day, ud.day - c.cohort_day
+"""
+
+QUERIES["events_retention"] = q_events_retention

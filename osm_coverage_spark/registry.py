@@ -84,6 +84,10 @@ check on them every session:
   the cell aggregate); the tiling family keeps tile_pyramid and
   raster_vector_join in-window; added r5 straight into the retired
   (module-tested) set.
+- events_retention — cohort retention triangle (distinct user-days →
+  per-user min → broadcast cohort join → count); the events family
+  already holds five in-window representatives; added r5 straight into
+  the retired (module-tested) set.
 """
 
 from __future__ import annotations
@@ -116,6 +120,7 @@ RETIRED = {
     "decontaminate",
     "events_funnel",
     "tile_heatmap",
+    "events_retention",
 }
 
 DRIVER_GATE_CAP = 50
