@@ -863,6 +863,12 @@ def _pool_decode(
         LEN = LEN.astype(np.int64)
 
     bitpos = soff * 8  # ABSOLUTE bit position in the pooled buffer
+    # per-stream consume limit (r5 ADVICE #3): a VALID stream finishes with
+    # bitpos <= its own end (+pad-byte slack); a truncated/corrupt stream
+    # that runs past 4 bytes into its 8-byte pad would next PEEK (4-byte
+    # gather) into the following stream's bytes and return silently wrong
+    # coefficients — raise instead, mirroring the scatter-slack guard
+    a_lim = (soff + lens + 4) * 8
     state = np.zeros(S, dtype=np.int64)  # (blk*ncomp + comp)*64 + k
     a_ob = obase.copy()
     a_end = out_sizes.copy()  # finished when state >= nmcu*ncomp*64
@@ -893,6 +899,8 @@ def _pool_decode(
         mask = (one << sz) - 1
         raw = (u32[p >> 3] >> (32 - (p & 7) - sz)) & mask
         bitpos = p + sz
+        if (bitpos > a_lim).any():
+            raise ValueError("jpeg entropy stream overruns its segment")
         half = (mask + 1) >> 1  # 2^(sz-1), or 0 when sz == 0
         val = raw - (raw < half) * mask
         run = sym >> 4  # DC sym <= 15 → run 0; EOB → 0; ZRL → 15
@@ -909,7 +917,7 @@ def _pool_decode(
         if fin.any():
             keep = ~fin
             bitpos, state = bitpos[keep], state[keep]
-            a_ob, a_end = a_ob[keep], a_end[keep]
+            a_ob, a_end, a_lim = a_ob[keep], a_end[keep], a_lim[keep]
             if not uniform:
                 a_dc, a_ac = a_dc[keep], a_ac[keep]
     res = []

@@ -7,11 +7,12 @@ missing set → per-district and global stats.
 
 Spark re-expression: the 50k-row driver chunk loop (04:401-422) disappears —
 partitioned execution is the chunking. The matched/missing split is ONE
-narrow probe pass: ALKIS projected to (key, lat, lon, cell) inner-joins the
-ring-exploded OSM side with the distance residual, the distinct matching
-triples become the ``found`` set, and the flag left-joins back to the full
-rows (see ``flag_found``). Duplicated ALKIS rows share their triple, hence
-the same flag — exactly the reference's per-row ``found_in_osm`` semantics.
+left join: the ring-exploded OSM side is pre-aggregated to one row per
+(key, geocell) carrying its candidate-point set, the full ALKIS rows join
+it once, and ``found_in_osm`` is an ``exists`` over the candidate array
+(see ``flag_found``). One row out per ALKIS row by construction — exactly
+the reference's per-row ``found_in_osm`` semantics, with each prep chain
+computed once and two exchanges total.
 """
 
 from __future__ import annotations
@@ -96,41 +97,42 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
                dist_backend: str | None = None) -> DataFrame:
     """Add ``found_in_osm``: EXISTS an OSM row with equal key within range.
 
-    Single-probe content-keyed plan (measured fastest of three shapes at
-    3M×2.4M rows: 1.5× over the round-1 semi+anti pair, 1.8× over a
-    collect_set aggregated-exists):
+    Aggregated-build single-join plan (r6: measured fastest of four shapes;
+    replaces the r2-r5 probe+distinct+join-back, which computed the entire
+    ALKIS prep chain TWICE — once for the narrow probe, once for the wide
+    fact side — and paid 3 extra exchanges for the distinct + flag join):
 
-    1. probe = ALKIS projected to ONLY ``(key, lat, lon, cell)`` — the flag
-       is a pure function of those three values, so the wide fact columns
-       never enter the probe shuffle;
-    2. one inner hash join against the ring-exploded OSM side + the
-       distance residual → ``found`` = DISTINCT matching (key, lat, lon)
-       triples (map-side-combining HashAggregate on plain columns — no
-       array building, no object agg);
-    3. the flag joins back to the full ALKIS rows on (key, lat, lon).
-       Duplicate ALKIS rows share their triple, hence the same flag — so
-       multiplicity is preserved exactly, with no row ids (and therefore no
-       ``monotonically_increasing_id`` recompute hazard).
+    1. the ring-exploded OSM side is grouped to ONE row per
+       ``(key, geocell)`` holding the collect_set of its candidate points
+       (bounded: points sharing a normalized street+number key inside one
+       611 m cell — dozens at most, never a whole country's hot key);
+    2. the full ALKIS rows LEFT-join that aggregate on ``(key, cell)`` —
+       exactly one output row per ALKIS row by construction (the build side
+       is unique on the join key), so multiplicity is preserved with no
+       row ids and no join-back;
+    3. ``found_in_osm`` = ``exists(points, p -> dist(p) < r)`` — a codegen
+       higher-order function over the (tiny) candidate array.
 
-    Versus the semi+anti pair: ONE probe pass over the exploded OSM side
-    instead of two, and the wide ALKIS shuffle happens once (narrow keys
-    travel everywhere else).
+    Guide §2.4: the groupBy's hash partitioning IS the join's required
+    distribution, so the build side costs one exchange total, the ALKIS
+    side one, and the prep chains (corrections → explodes → 15-step
+    normalize key) run exactly once per side.
 
     ``use_cells=True`` (the scale path, per SURVEY §4.1) joins on
     ``(key, geocell)`` instead of ``key`` alone: the OSM build side is
     exploded into the ≤4 res-16 cells its 150 m disc can touch (quadrant
     stencil, exact because the cell edge ≥ 2× the radius at German
-    latitudes — geo/cells.disc_stencil) and the probe hits only
-    geographically adjacent rows. This turns the hot-key quadratic blowup
-    (shared street+number keys across a country: ~100-300 rows/key both
-    sides → ~10^8 candidate pairs at sf0.1, ~10^12 at cluster scale) into
-    O(rows × 4), at 2.25× less shuffle volume than a ring-1 explode."""
+    latitudes — geo/cells.disc_stencil) and each ALKIS row meets only
+    geographically adjacent candidates. This turns the hot-key quadratic
+    blowup (shared street+number keys across a country: ~100-300 rows/key
+    both sides → ~10^8 candidate pairs at sf0.1, ~10^12 at cluster scale)
+    into O(rows × 4), at 2.25× less shuffle volume than a ring-1 explode."""
     osm_sel = osm.select(
         F.col("key").alias("_okey"),
         F.col("lat").alias("_olat"),
         F.col("lon").alias("_olon"),
     )
-    probe = alkis.select("key", "lat", "lon")
+    pt = F.struct(F.col("_olat").alias("olat"), F.col("_olon").alias("olon"))
     if use_cells:
         if max_dist_m > MATCH_STENCIL_MAX_M:
             raise ValueError(
@@ -140,29 +142,27 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
         osm_sel = disc_stencil(
             osm_sel, "_olat", "_olon", MATCH_CELL_RES, out_col="_onbr"
         )
-        probe = probe.withColumn(
+        osm_agg = osm_sel.groupBy("_okey", "_onbr").agg(
+            F.collect_set(pt).alias("_opts")
+        )
+        alkis = alkis.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
         )
         cond = (F.col("key") == F.col("_okey")) & (F.col("_acell") == F.col("_onbr"))
     else:
+        osm_agg = osm_sel.groupBy("_okey").agg(F.collect_set(pt).alias("_opts"))
         cond = F.col("key") == F.col("_okey")
 
     dist = _dist_fn(dist_backend)
-    dist_ok = (
-        dist(F.col("lat"), F.col("lon"), F.col("_olat"), F.col("_olon"))
-        < F.lit(max_dist_m)
-    )
-    found = (
-        probe.join(osm_sel, cond, "inner")
-        .filter(dist_ok)
-        .select("key", "lat", "lon")
-        .distinct()
-        .withColumn("_f", F.lit(True))
+    found = F.exists(
+        F.col("_opts"),
+        lambda p: dist(F.col("lat"), F.col("lon"), p["olat"], p["olon"])
+        < F.lit(max_dist_m),
     )
     return (
-        alkis.join(found, ["key", "lat", "lon"], "left")
-        .withColumn("found_in_osm", F.coalesce(F.col("_f"), F.lit(False)))
-        .drop("_f")
+        alkis.join(osm_agg, cond, "left")
+        .withColumn("found_in_osm", F.coalesce(found, F.lit(False)))
+        .drop("_okey", "_onbr", "_opts", "_acell")
     )
 
 

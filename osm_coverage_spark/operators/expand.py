@@ -91,15 +91,27 @@ def add_housename_variants(
     hnr_col: str = "housenumber",
     housename_col: str = "housename",
 ) -> DataFrame:
-    """Union rows carrying a housename with a ``"<hnr>, <housename>"`` variant
-    so either form can match (04:371-384). Housenumber is assumed already
-    null-coerced to '' (the pipeline does this first, like 04:368).
+    """Emit rows carrying a housename twice — once as-is and once with a
+    ``"<hnr>, <housename>"`` variant — so either form can match
+    (04:371-384). Housenumber is assumed already null-coerced to '' (the
+    pipeline does this first, like 04:368).
+
+    r6: explode form instead of ``df.unionByName(df.filter(...))`` — the
+    union duplicated the ENTIRE upstream subtree (Catalyst plans each
+    branch independently: one extra scan + prep chain per consumer, guide
+    §2.4); the explode derives the identical row multiset from one pass.
     """
     hn = F.col(housename_col)
-    variants = df.filter(hn.isNotNull() & (hn != "")).withColumn(
-        hnr_col, F.concat(F.col(hnr_col), F.lit(", "), hn)
+    base = F.array(F.col(hnr_col))
+    variants = F.when(
+        hn.isNotNull() & (hn != ""),
+        F.array(F.col(hnr_col), F.concat(F.col(hnr_col), F.lit(", "), hn)),
+    ).otherwise(base)
+    return (
+        df.withColumn("_hn_parts", variants)
+        .withColumn(hnr_col, F.explode("_hn_parts"))
+        .drop("_hn_parts")
     )
-    return df.unionByName(variants)
 
 
 def carry_forward_split(

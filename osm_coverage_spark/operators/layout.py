@@ -124,6 +124,22 @@ def read_bbox(
     )
 
 
+def _footer_row_count(path: str) -> int:
+    """Total row count of a parquet lake from file footers alone — no data
+    pages are read. Walks the tile directories on the driver (file listing
+    is already driver-side work in bare-parquet Spark)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
 def compact_tiles(
     spark: SparkSession, path: str, out_path: str, target_rows: int = 1 << 20
 ) -> None:
@@ -138,11 +154,18 @@ def compact_tiles(
     codes are area-proportional, not row-proportional), so every writer
     task gets ~target_rows regardless of skew, giant tiles split across
     tasks on z boundaries, and (tile, z)-adjacent rows stay file-adjacent
-    — compaction never un-clusters the data."""
+    — compaction never un-clusters the data.
+
+    Output sizing reads the parquet FOOTER row counts (metadata-only, the
+    r5 verdict's #7 fix) instead of ``df.count()`` — the old count was a
+    full data scan just to pick a partition number, i.e. two passes over
+    a lake whose whole problem is scan cost. A manifest-based table
+    format would make this a catalog lookup; on bare parquet the footers
+    are the manifest."""
     import math
 
     df = spark.read.parquet(path)
-    n = max(1, math.ceil(df.count() / target_rows))
+    n = max(1, math.ceil(_footer_row_count(path) / target_rows))
     out = df.repartitionByRange(n, "tile", "z_order").sortWithinPartitions(
         "tile", "z_order"
     )

@@ -379,19 +379,25 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort_day, day_offset, n_users), the matrix every growth dashboard
     plots.
 
-    Scale shape: one distinct (user, day) aggregation (shuffle 1, events
-    collapse to user-days), one per-user min (shuffle on user_id — reuses
-    nothing but is |user-days| rows, not |events|), then a broadcast of
-    the one-row-per-user cohort map back onto user-days and a final
-    count. The events table is scanned once; nothing downstream of the
-    first aggregate is event-sized."""
+    Scale shape (r6, the r5 verdict's #2 fix): ONE shuffle on user_id —
+    ``groupBy(user_id).agg(collect_set(day))`` dedups user-days map-side
+    (partial collect_set), the cohort is ``array_min(days)`` computed
+    before the days array is exploded back to rows, and the final count
+    re-shuffles only the ~|cohorts × offsets| aggregate. No join, no
+    window sort, and crucially no broadcast of a per-USER table (users
+    are unbounded: at 10^9 users the old ``F.broadcast(cohorts)`` hint
+    was a guaranteed driver/executor OOM that AQE could not override).
+    The per-user array is bounded by the calendar (distinct DAYS a user
+    was active), not by event volume."""
     ev = _events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us DIV {86_400_000_000}").alias("day")
     )
-    user_days = ev.distinct()
-    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    per_user = ev.groupBy("user_id").agg(F.collect_set("day").alias("_days"))
     return (
-        user_days.join(F.broadcast(cohorts), "user_id")
+        per_user.select(
+            F.array_min("_days").alias("cohort_day"),
+            F.explode("_days").alias("day"),
+        )
         .groupBy(
             "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
         )

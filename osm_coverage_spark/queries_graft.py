@@ -201,7 +201,7 @@ def q_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (
             F.col("cell")
-            + (F.col("k") / 3).cast("long").cast("long") * cells.IX_BASE
+            + F.expr("k DIV 3") * cells.IX_BASE
             - cells.IX_BASE
             + (F.col("k") % 3) - 1
         ).alias("cell"),

@@ -66,9 +66,14 @@ def q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     derived.register_derived_views(spark, sf_dir)
     pts = spark.table("alkis").select("alkis_id", "street", "lat", "lon")
+    # per-session suffix (r5 ADVICE #4): two concurrent sessions gating the
+    # same sf (gate replica + pytest) raced on one fixed path's
+    # mode('overwrite') and could read a half-rewritten lake
+    session_tok = spark.sparkContext.applicationId
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_layout_{os.path.basename(os.path.normpath(sf_dir))}",
+        "spark_graft_layout_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{session_tok}",
     )
     layout.write_spatial_layout(pts, path)
     out = layout.read_bbox(spark, path, 50.2, 50.9, 6.2, 7.4)

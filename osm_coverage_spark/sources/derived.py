@@ -134,6 +134,33 @@ OSM_CTE = f"""osm AS (
   FROM alkis_base WHERE okey % 10 = 7
 )"""
 
+# Spark-side single-scan twin of OSM_CTE. The oracle text above is frozen
+# (the driver fingerprints it), but the Spark TEMP VIEW only has to produce
+# the same row multiset: the 4-way UNION ALL over alkis_base re-scans the
+# base parquet once per branch (plan-verified: 4 scans + 4 exchanges per
+# coverage query), while this explode form derives the identical rows from
+# ONE scan (guide §2.4 — remove redundant passes). Branch mapping:
+# b=0 nearby copy (okey%10<=5, emitted twice for okey%10=0 via b=1),
+# b=2 housename-variant row, b=3 the ~3.5 km displaced copy.
+OSM_SPARK_CTE = f"""osm AS (
+  SELECT {_OSM_STREET} AS street,
+         CASE WHEN b = 2 THEN CAST(hnum AS STRING) ELSE housenumber END
+           AS housenumber,
+         CASE WHEN b = 2 THEN 'a' ELSE CAST(NULL AS STRING) END AS housename,
+         city,
+         CASE WHEN b = 3 THEN lon + 0.05e0 ELSE lon + 0.0005e0 END AS lon,
+         lat AS lat
+  FROM (
+    SELECT *, explode(CASE
+        WHEN okey % 10 = 0 THEN array(0, 1)
+        WHEN okey % 10 <= 5 THEN array(0)
+        WHEN okey % 10 = 6 AND okey % 17 = 3 THEN array(2)
+        WHEN okey % 10 = 7 THEN array(3)
+        ELSE CAST(array() AS ARRAY<INT>) END) AS b
+    FROM alkis_base
+  )
+)"""
+
 # --------------------------------------------------------------------------
 # history — coverage time series derived from `events`
 # --------------------------------------------------------------------------
@@ -234,6 +261,60 @@ images AS (
 )"""
 
 
+def images_spark_cte() -> str:
+    """Spark-side single-scan twin of ``images_cte`` (same row multiset;
+    the duckdb oracle text keeps the frozen UNION ALL form). The '_b'
+    near-dup twin branch re-scans documents in the union form; here each
+    doc_id%7==0 row explodes into (base, twin) from ONE scan."""
+    phash = _hex15_to_bigint("ph_hex", "spark")
+    base = images_cte("spark").rsplit("images AS (", 1)[0].rstrip().rstrip(",")
+    return f"""{base},
+images AS (
+  SELECT CASE WHEN b = 1 THEN 'img_' || CAST(doc_id AS STRING) || '_b'
+              ELSE 'img_' || CAST(doc_id AS STRING) END AS image_id,
+         CASE WHEN b = 1 THEN phash + (1 - 2 * (phash % 2))
+               + (1 - 2 * (CASE WHEN phash % 17179869184 >= 8589934592
+                                THEN 1 ELSE 0 END))
+                 * 8589934592
+              ELSE phash END AS phash,
+         w, h, fmt, caption,
+         CASE WHEN b = 1 THEN lon + 0.0003e0 ELSE lon END AS lon,
+         lat AS lat
+  FROM (
+    SELECT *, explode(CASE WHEN doc_id % 7 = 0 THEN array(0, 1)
+                           ELSE array(0) END) AS b
+    FROM images_scalar
+  )
+)"""
+
+
+# Spark-side single-scan twins of DOCS_DUP_CTE / emb_dup_cte (same rows,
+# one documents/embeddings scan instead of two per consumer).
+DOCS_DUP_SPARK_CTE = """docs_dup AS (
+  SELECT doc_id + d AS doc_id, text, lang, source, n_chars
+  FROM (
+    SELECT *, explode(CASE WHEN doc_id % 10 = 0
+        THEN array(CAST(0 AS BIGINT), CAST(10000000 AS BIGINT))
+        ELSE array(CAST(0 AS BIGINT)) END) AS d
+    FROM documents
+  )
+)"""
+
+EMB_DUP_SPARK_CTE = """emb_dup AS (
+  SELECT vec_id + d AS vec_id,
+         CASE WHEN d = 0 THEN embedding
+              ELSE transform(embedding, x -> x * CAST(2 AS FLOAT)) END
+           AS embedding,
+         label
+  FROM (
+    SELECT *, explode(CASE WHEN vec_id % 10 = 0
+        THEN array(CAST(0 AS BIGINT), CAST(10000000 AS BIGINT))
+        ELSE array(CAST(0 AS BIGINT)) END) AS d
+    FROM embeddings
+  )
+)"""
+
+
 # --------------------------------------------------------------------------
 # Registration / composition helpers
 # --------------------------------------------------------------------------
@@ -252,7 +333,16 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # so pin it here at query-build time (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     n_parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTITIONS", "0"))
-    wide = {"orders", "lineitem", "events", "documents", "embeddings"}
+    # Re-split only the tables whose consumers run EXPENSIVE per-row map
+    # work before the first shuffle (derived-CTE string/regex chains,
+    # shingling, codecs, vector math) — there the round-robin exchange buys
+    # 64-way parallelism for CPU the 1-row-group scan would serialize.
+    # lineitem's consumers (tpch q1/q3/q6) aggregate or join immediately:
+    # for them the repartition is a pure extra pass over the widest table
+    # (guide §2.4 — an Exchange feeding another Exchange/partial-agg does
+    # no work a map-side partial couldn't), and scan parallelism comes from
+    # row-group-aligned splits (session.py maxPartitionBytes) instead.
+    wide = {"orders", "events", "documents", "embeddings"}
     dfs = {}
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
@@ -268,13 +358,13 @@ def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
     load_testdata(spark, sf_dir)
     spark.sql(f"CREATE OR REPLACE TEMP VIEW alkis_base AS WITH {ALKIS_BASE_CTE} SELECT * FROM alkis_base")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW alkis AS WITH {ALKIS_CTE} SELECT * FROM alkis")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW osm AS WITH {OSM_CTE} SELECT * FROM osm")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW osm AS WITH {OSM_SPARK_CTE} SELECT * FROM osm")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW history AS WITH {HISTORY_CTE} SELECT * FROM history")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW carry_raw AS WITH {CARRY_RAW_CTE} SELECT * FROM carry_raw")
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW docs_dup AS WITH {DOCS_DUP_CTE} SELECT * FROM docs_dup")
-    spark.sql("CREATE OR REPLACE TEMP VIEW emb_dup AS WITH " + emb_dup_cte("spark") + " SELECT * FROM emb_dup")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW docs_dup AS WITH {DOCS_DUP_SPARK_CTE} SELECT * FROM docs_dup")
+    spark.sql("CREATE OR REPLACE TEMP VIEW emb_dup AS WITH " + EMB_DUP_SPARK_CTE + " SELECT * FROM emb_dup")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW polys AS WITH {POLYS_CTE} SELECT * FROM polys")
-    for stmt in _split_images_views(images_cte("spark")):
+    for stmt in _split_images_views(images_spark_cte()):
         spark.sql(stmt)
 
 

@@ -336,22 +336,17 @@ def rollback_table(target: str, version: int, timeout_s: float = 5.0) -> int:
 
     Runs under the same ``__commitlock`` as merge_upsert/expire_snapshots
     with the identical crash-safe swap: at any instant either the old or
-    the new live directory exists. Returns the new live version id."""
+    the new live directory exists. The log read AND the snapshot copy both
+    happen under the lock (r5 ADVICE #2): outside it, a concurrent
+    expire_snapshots could delete ``entry['dir']`` mid-copytree and the
+    validated log could be stale by swap time. Returns the new live
+    version id."""
     import os
     import shutil
     import time
 
-    log = _read_snaplog(target)
-    entry = next((e for e in log if e["id"] == version), None)
-    if entry is None:
-        raise ValueError(
-            f"snapshot {version} of {target} not retained "
-            f"(have {[e['id'] for e in log]})"
-        )
     staging = f"{target}__rollback_tmp"
     bak = f"{target}__rollback_bak"
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.copytree(entry["dir"], staging)
 
     lock = f"{target}__commitlock"
     deadline = time.monotonic() + timeout_s
@@ -361,12 +356,20 @@ def rollback_table(target: str, version: int, timeout_s: float = 5.0) -> int:
             break
         except FileExistsError:
             if time.monotonic() > deadline:
-                shutil.rmtree(staging, ignore_errors=True)
                 raise TimeoutError(
                     f"rollback_table: commit lock {lock} busy > {timeout_s}s"
                 )
             time.sleep(0.02)
     try:
+        log = _read_snaplog(target)
+        entry = next((e for e in log if e["id"] == version), None)
+        if entry is None:
+            raise ValueError(
+                f"snapshot {version} of {target} not retained "
+                f"(have {[e['id'] for e in log]})"
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(entry["dir"], staging)
         os.rename(target, bak)
         try:
             os.rename(staging, target)
@@ -376,5 +379,6 @@ def rollback_table(target: str, version: int, timeout_s: float = 5.0) -> int:
         _append_snapshot(target, bak)
         return current_version(target)
     finally:
+        shutil.rmtree(staging, ignore_errors=True)
         os.close(fd)
         os.unlink(lock)

@@ -83,23 +83,35 @@ def sync_incremental(
     O(|changed rows|), never O(|table|); only the bootstrap copies.
 
     Returns {'mode': 'full'|'noop'|'delta', 'from', 'to', 'inserts',
-    'deletes'}. The control table records the last applied version, so a
-    crashed run re-applies from its previous watermark (the swap is
-    atomic: either the old or the new mirror directory exists)."""
+    'deletes'}.
+
+    Crash idempotency (r5 ADVICE #1): the applied version travels WITH the
+    data — a ``_SYNC_VERSION`` marker file is written inside the new
+    directory BEFORE the swap (underscore-prefixed, so Spark's parquet
+    reader ignores it), and 'last' is derived from the mirror itself. A
+    crash at any point leaves either the old mirror (marker = last → the
+    retry re-applies the same delta onto the UNCHANGED data) or the new
+    one (marker = cur → the retry is a noop) — never a double-apply. The
+    control-table append is advisory history only. Stale ``__syncbak``
+    from a crash after the swap is removed before the next rename (the
+    old ENOTEMPTY failure)."""
     import os
     import shutil
 
     from ..sources import tables
 
     cur = tables.current_version(source)
-    try:
-        last = (
-            spark.read.parquet(control_path).agg(F.max("version")).collect()[0][0]
-        )
-    except Exception:
-        last = None
+    last = _mirror_version(mirror)
+    if last is None:
+        try:
+            last = (
+                spark.read.parquet(control_path).agg(F.max("version")).collect()[0][0]
+            )
+        except Exception:
+            last = None
     if last is None or not os.path.exists(mirror):
         tables.read_table(spark, source).write.mode("overwrite").parquet(mirror)
+        _write_version_marker(mirror, cur)
         stats = {"mode": "full", "from": None, "to": cur,
                  "inserts": None, "deletes": None}
     elif last == cur:
@@ -116,6 +128,8 @@ def sync_incremental(
         # never overwrite a parquet path mid-read: write aside, then swap
         tmp, bak = mirror + "__sync", mirror + "__syncbak"
         updated.write.mode("overwrite").parquet(tmp)
+        _write_version_marker(tmp, cur)  # version rides with the data
+        shutil.rmtree(bak, ignore_errors=True)  # stale crash leftover
         os.rename(mirror, bak)
         os.rename(tmp, mirror)
         shutil.rmtree(bak, ignore_errors=True)
@@ -125,6 +139,27 @@ def sync_incremental(
         control_path
     )
     return stats
+
+
+_SYNC_MARKER = "_SYNC_VERSION"
+
+
+def _mirror_version(mirror: str) -> int | None:
+    """Last applied source version recorded inside the mirror directory."""
+    import os
+
+    try:
+        with open(os.path.join(mirror, _SYNC_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_version_marker(dirpath: str, version: int) -> None:
+    import os
+
+    with open(os.path.join(dirpath, _SYNC_MARKER), "w") as fh:
+        fh.write(str(int(version)))
 
 
 def maintain_pyramid(pyramid: DataFrame, changes: DataFrame) -> DataFrame:

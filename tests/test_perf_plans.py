@@ -24,24 +24,27 @@ def test_parquet_filter_and_column_pushdown(spark, sf_dir):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_flagship_is_single_probe_plus_flag_join(spark, sf_dir):
+def test_flagship_is_single_aggregated_left_join(spark, sf_dir):
     df = queries_coverage.q_coverage_missing(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
-    # single-probe shape: ONE inner hash join over the ring-exploded OSM
-    # side (narrow (key, lat, lon, cell) probe) + ONE left join attaching
-    # the flag — NOT the round-1 semi+anti pair that probed the exploded
-    # side twice
+    # r6 aggregated-build shape: the stencil-exploded OSM side collapses to
+    # one row per (key, cell) via collect_set, and the full ALKIS rows LEFT
+    # join it exactly ONCE (found_in_osm = exists() over the candidate
+    # array) — no probe pass, no distinct, no flag join-back
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     n_joins = (
         plan.count("SortMergeJoin")
         + plan.count("ShuffledHashJoin")
         + plan.count("BroadcastHashJoin")
     )
-    assert n_joins == 2, plan
+    assert n_joins == 1, plan
     assert "LeftOuter" in plan
     assert "_onbr" in plan  # ring-expanded cell key participates in the join
+    assert "collect_set" in plan  # aggregated build side
+    # each side's prep chain runs once: one orders scan per side
+    assert plan.count("orders.parquet") == 2, plan
 
 
 def test_tpch_fact_tables_not_hint_broadcast(spark, sf_dir):
@@ -156,68 +159,105 @@ def test_hot_cell_detection_finds_planted_hotspot(spark, sf_dir):
     assert max(r["cell_rows"] for r in hot) > total * 0.15
 
 
-def test_flag_join_skew_split_on_planted_hot_key(spark):
-    """VERDICT r2 #8: the flag left-join back on (key, lat, lon) re-shuffles
-    the wide ALKIS side; with a planted hot key (urban-blob shape — one
-    street triple carrying ~75 % of all rows) AQE's skew-join must SPLIT the
-    hot partition instead of serializing it through one task. Thresholds are
-    lowered so the sf-test-sized input crosses them; the assertion is on the
-    executed adaptive plan ('skew=true' on a SortMergeJoin)."""
+def _planted_hot_frames(spark):
+    """Urban-blob fixtures: 75 % of ALKIS rows share ONE (key, lat, lon)
+    triple; OSM is cold."""
     from osm_coverage_spark.operators import coverage
 
-    keys = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        # keep the small shuffle from being coalesced into one partition
-        # (a single post-coalesce partition cannot be 'skewed')
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
-    saved = {k: spark.conf.get(k, None) for k in keys}
+    pid = F.col("id")
+    hot = pid % 4 != 0
+    filler = F.repeat(F.concat(F.lit("x"), (pid % 97).cast("string")), 40)
+    alkis = spark.range(0, 60_000, 1, 16).select(
+        F.when(hot, F.lit("Hauptstraße")).otherwise(
+            F.concat(F.lit("Weg "), (pid % 5000).cast("string"))
+        ).alias("street"),
+        F.when(hot, F.lit("1")).otherwise(
+            (pid % 90 + 1).cast("string")
+        ).alias("housenumber"),
+        F.when(hot, F.lit(50.93)).otherwise(
+            F.lit(50.0) + (pid % 1000).cast("double") * 1e-4
+        ).alias("lat"),
+        F.when(hot, F.lit(6.95)).otherwise(
+            F.lit(6.0) + (pid % 1000).cast("double") * 1e-4
+        ).alias("lon"),
+        filler.alias("wide_payload"),
+    )
+    alkis = alkis.withColumn(
+        "key",
+        coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
+    )
+    osm = spark.range(0, 2_000, 1, 4).select(
+        F.concat(F.lit("Weg "), (pid % 5000).cast("string")).alias("street"),
+        (pid % 90 + 1).cast("string").alias("housenumber"),
+        (F.lit(50.0) + (pid % 1000).cast("double") * 1e-4).alias("lat"),
+        (F.lit(6.0) + (pid % 1000).cast("double") * 1e-4).alias("lon"),
+    )
+    osm = osm.withColumn(
+        "key",
+        coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
+    )
+    return alkis, osm
+
+
+_SKEW_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # keep the small shuffle from being coalesced into one partition
+    # (a single post-coalesce partition cannot be 'skewed')
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def test_flag_found_hot_key_correct_and_bounded(spark):
+    """r6 flag_found shape under the planted hot key (75 % of rows in one
+    (key, lat, lon) triple): results must equal the cell-free reference
+    formulation, and the aggregated OSM build side must stay bounded per
+    (key, cell) — the hot-key quadratic pairing the old join-back skew
+    split guarded against cannot arise because the candidate arrays are
+    keyed by (key, geocell), never by key alone (the former AQE-skew-split
+    assertion died with the join-back: the r6 plan's only join has an
+    aggregate build side, which OptimizeSkewedJoin cannot match — see
+    OPTIMIZATION_r06.md for the measured trade-off)."""
+    from osm_coverage_spark.operators import coverage
+
+    alkis, osm = _planted_hot_frames(spark)
+    got = coverage.flag_found(alkis, osm)
+    ref = coverage.flag_found(alkis, osm, use_cells=False)
+    cols = ["street", "housenumber", "lat", "lon", "found_in_osm"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, ref.select(cols).collect())
+    )
+    n_hot = got.filter(F.col("key") == "hauptstrasse1").count()
+    assert n_hot == 45_000  # multiplicity preserved through the left join
+
+
+def test_aqe_skew_split_fires_on_raw_shuffle_join(spark):
+    """The engine session must still deliver AQE skew-splitting wherever a
+    raw shuffle join exists (tpch q3's fact join, the interval hash path):
+    planted 75 %-hot stream side on a plain left join → 'skew=true' in the
+    executed adaptive plan."""
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONF}
     try:
-        for k, v in keys.items():
+        for k, v in _SKEW_CONF.items():
             spark.conf.set(k, v)
         pid = F.col("id")
-        hot = pid % 4 != 0  # 75 % of rows share ONE (key, lat, lon) triple
-        filler = F.repeat(F.concat(F.lit("x"), (pid % 97).cast("string")), 40)
-        alkis = spark.range(0, 60_000, 1, 16).select(
-            F.when(hot, F.lit("Hauptstraße")).otherwise(
-                F.concat(F.lit("Weg "), (pid % 5000).cast("string"))
-            ).alias("street"),
-            F.when(hot, F.lit("1")).otherwise(
-                (pid % 90 + 1).cast("string")
-            ).alias("housenumber"),
-            F.when(hot, F.lit(50.93)).otherwise(
-                F.lit(50.0) + (pid % 1000).cast("double") * 1e-4
-            ).alias("lat"),
-            F.when(hot, F.lit(6.95)).otherwise(
-                F.lit(6.0) + (pid % 1000).cast("double") * 1e-4
-            ).alias("lon"),
-            filler.alias("wide_payload"),
+        big = spark.range(0, 60_000, 1, 16).select(
+            F.when(pid % 4 != 0, F.lit(7)).otherwise(pid % 5000).alias("k"),
+            F.repeat(F.concat(F.lit("x"), (pid % 97).cast("string")), 40).alias(
+                "payload"
+            ),
         )
-        alkis = alkis.withColumn(
-            "key",
-            coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
+        small = spark.range(0, 2_000, 1, 4).select(
+            (pid % 5000).alias("k2"), (pid % 9).alias("v")
         )
-        osm = spark.range(0, 2_000, 1, 4).select(
-            F.concat(F.lit("Weg "), (pid % 5000).cast("string")).alias("street"),
-            (pid % 90 + 1).cast("string").alias("housenumber"),
-            (F.lit(50.0) + (pid % 1000).cast("double") * 1e-4).alias("lat"),
-            (F.lit(6.0) + (pid % 1000).cast("double") * 1e-4).alias("lon"),
-        )
-        osm = osm.withColumn(
-            "key",
-            coverage.normalize_key_expr(F.col("street"), F.col("housenumber")),
-        )
-        flagged = coverage.flag_found(alkis, osm)
-        # collect() on THIS object: AQE finalizes (isFinalPlan=true) only
-        # for the executed DataFrame's own QueryExecution
-        flagged.collect()
-        plan = _plan(flagged)
+        joined = big.join(small, big["k"] == small["k2"], "left")
+        joined.collect()
+        plan = _plan(joined)
         assert "skew=true" in plan, plan
     finally:
         for k, v in saved.items():
@@ -284,11 +324,12 @@ def test_tile_pyramid_single_base_scan(spark, sf_dir):
     df.collect()  # AQE finalizes only the executed DataFrame object
     # toString appends the pre-AQE "Initial Plan" — count the final only
     plan = _plan(df).split("Initial Plan")[0]
-    # the images view is itself a 2-branch union (base + '_b' twins), so
-    # ONE pass over the source = exactly 2 FileScans; the naive
-    # per-level union plan showed 2×(1+2+3+4) scan instances
+    # r6: the images view derives the '_b' twins by explode from ONE scan
+    # (sources/derived.images_spark_cte), so one pass over the source =
+    # exactly 1 FileScan; the naive per-level union plan showed
+    # 2×(1+2+3+4) scan instances
     n_scans = plan.count("documents.parquet")
-    assert n_scans == 2, f"scans={n_scans}\n" + plan
+    assert n_scans == 1, f"scans={n_scans}\n" + plan
     # and the rollup side re-aggregates the aggregate: exactly two
     # exchanges total (base cell shuffle + tiny (res, cell) shuffle)
     assert plan.count("Exchange hashpartitioning") == 2, plan
