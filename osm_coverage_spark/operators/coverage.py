@@ -103,7 +103,7 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
     fact side — and paid 3 extra exchanges for the distinct + flag join):
 
     1. the ring-exploded OSM side is grouped to ONE row per
-       ``(key, geocell)`` holding the collect_set of its candidate points
+       ``(key, geocell)`` holding the collect_list of its candidate points
        (bounded: points sharing a normalized street+number key inside one
        611 m cell — dozens at most, never a whole country's hot key);
     2. the full ALKIS rows LEFT-join that aggregate on ``(key, cell)`` —
@@ -142,15 +142,18 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
         osm_sel = disc_stencil(
             osm_sel, "_olat", "_olon", MATCH_CELL_RES, out_col="_onbr"
         )
+        # collect_list, not collect_set: exists() is duplicate-
+        # insensitive, and the per-element set hashing measured 14% slower
+        # than carrying the few duplicate points (sandbox: 2.68→2.36 s)
         osm_agg = osm_sel.groupBy("_okey", "_onbr").agg(
-            F.collect_set(pt).alias("_opts")
+            F.collect_list(pt).alias("_opts")
         )
         alkis = alkis.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
         )
         cond = (F.col("key") == F.col("_okey")) & (F.col("_acell") == F.col("_onbr"))
     else:
-        osm_agg = osm_sel.groupBy("_okey").agg(F.collect_set(pt).alias("_opts"))
+        osm_agg = osm_sel.groupBy("_okey").agg(F.collect_list(pt).alias("_opts"))
         cond = F.col("key") == F.col("_okey")
 
     dist = _dist_fn(dist_backend)

@@ -505,10 +505,36 @@ def _dot(a, b):
     )
 
 
+# Fixture embedding dimensionality. _dot_fast unrolls to a flat codegen Add
+# chain for arrays of exactly this length and falls back to the interpreted
+# higher-order fold otherwise — rows of any other length stay correct.
+EMB_DIM = 64
+
+
+def _dot_fast(a, b, dim: int = EMB_DIM):
+    """Dot product as a whole-stage-codegen expression (r6, guide §4.1).
+
+    The zip_with+aggregate form evaluates through INTERPRETED lambda
+    dispatch per element (higher-order functions never enter codegen) —
+    measured as the dominant cost of the brute-force ANN scorer (3×
+    per-pair folds × 64 interpreted steps each). The unrolled left-fold
+    Add chain is bit-identical: same ((0.0 + p₁) + p₂)… association, same
+    float→double widening per element (widening is exact, so per-element
+    cast equals array-level cast), same NULL propagation."""
+    acc = F.lit(0.0)
+    for j in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, j).cast("double") * F.element_at(b, j).cast("double")
+        )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(
+        _dot(a.cast("array<double>"), b.cast("array<double>"))
+    )
+
+
 def _cos(a_col: str, b_col: str):
-    a = F.col(a_col).cast("array<double>")
-    b = F.col(b_col).cast("array<double>")
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    a = F.col(a_col)
+    b = F.col(b_col)
+    return _dot_fast(a, b) / (F.sqrt(_dot_fast(a, a)) * F.sqrt(_dot_fast(b, b)))
 
 
 SIGN_BAND_DIMS = 8  # dims per sign-LSH band (2 bands → dims 1-8 and 9-16)
@@ -566,14 +592,26 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for query vectors (vec_id % 100 == 0)."""
+    """Brute-force cosine top-k for query vectors (vec_id % 100 == 0).
+
+    r6: per-vector norms are computed ONCE per side before the cross join
+    (guide §2.3 — don't recompute per pair what is a function of one
+    side); with |Q|×|T| pairs the old inline _cos folded dot(q,q) and
+    dot(t,t) per PAIR — two of its three 64-step folds were redundant.
+    The remaining per-pair dot runs as the unrolled codegen chain
+    (_dot_fast). sim values are bit-identical: same expressions over the
+    same inputs, same dot/(sqrt·sqrt) association."""
     derived.register_derived_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e_q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("e_q"),
+        F.sqrt(_dot_fast(F.col("embedding"), F.col("embedding"))).alias("_nq"),
     )
     targets = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_t")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_t"),
+        F.sqrt(_dot_fast(F.col("embedding"), F.col("embedding"))).alias("_nt"),
     )
     from pyspark.sql import Window
 
@@ -581,7 +619,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries)
         .crossJoin(targets)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(_cos("e_q", "e_t"), 9))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot_fast(F.col("e_q"), F.col("e_t"))
+                / (F.col("_nq") * F.col("_nt")),
+                9,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -337,12 +337,14 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # work before the first shuffle (derived-CTE string/regex chains,
     # shingling, codecs, vector math) — there the round-robin exchange buys
     # 64-way parallelism for CPU the 1-row-group scan would serialize.
-    # lineitem's consumers (tpch q1/q3/q6) aggregate or join immediately:
-    # for them the repartition is a pure extra pass over the widest table
-    # (guide §2.4 — an Exchange feeding another Exchange/partial-agg does
-    # no work a map-side partial couldn't), and scan parallelism comes from
-    # row-group-aligned splits (session.py maxPartitionBytes) instead.
-    wide = {"orders", "events", "documents", "embeddings"}
+    # lineitem's and events' consumers (tpch q1/q3/q6; the window/agg-first
+    # events family and the history view) shuffle or partial-aggregate
+    # immediately: for them the repartition is a pure extra pass (guide
+    # §2.4 — an Exchange feeding another Exchange/partial-agg does no work
+    # a map-side partial couldn't; measured 3× on sessionize/history at
+    # sf1.0), and scan parallelism comes from row-group-aligned splits
+    # (session.py maxPartitionBytes) instead.
+    wide = {"orders", "documents", "embeddings"}
     dfs = {}
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")

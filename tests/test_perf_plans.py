@@ -30,7 +30,7 @@ def test_flagship_is_single_aggregated_left_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     # r6 aggregated-build shape: the stencil-exploded OSM side collapses to
-    # one row per (key, cell) via collect_set, and the full ALKIS rows LEFT
+    # one row per (key, cell) via collect_list, and the full ALKIS rows LEFT
     # join it exactly ONCE (found_in_osm = exists() over the candidate
     # array) — no probe pass, no distinct, no flag join-back
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
@@ -42,7 +42,7 @@ def test_flagship_is_single_aggregated_left_join(spark, sf_dir):
     assert n_joins == 1, plan
     assert "LeftOuter" in plan
     assert "_onbr" in plan  # ring-expanded cell key participates in the join
-    assert "collect_set" in plan  # aggregated build side
+    assert "collect_list" in plan  # aggregated build side
     # each side's prep chain runs once: one orders scan per side
     assert plan.count("orders.parquet") == 2, plan
 
