@@ -19,6 +19,7 @@ semantics differ). Engine-specific fragments are parameterized per dialect.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -344,12 +345,19 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # a map-side partial couldn't; measured 3× on sessionize/history at
     # sf1.0), and scan parallelism comes from row-group-aligned splits
     # (session.py maxPartitionBytes) instead.
-    wide = {"orders", "documents", "embeddings"}
+    # HASH-repartition on each table's unique key, NOT round-robin: a
+    # keyless repartition(n) first pays a local sort of its whole input
+    # (sortBeforeRepartition, needed for retry determinism — guide §2.5),
+    # which measured as 0.74 s of the 0.91 s exchange at sf1.0; hashing a
+    # unique key is deterministic under retries with no sort (same guide
+    # section's recommendation) and spreads 1.5M distinct keys to within
+    # ±1.5% across 64 partitions.
+    wide = {"orders": "o_orderkey", "documents": "doc_id", "embeddings": "vec_id"}
     dfs = {}
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if n_parts > 0 and t in wide:
-            df = df.repartition(n_parts)
+            df = df.repartition(n_parts, F.col(wide[t]))
         df.createOrReplaceTempView(t)
         dfs[t] = df
     return dfs
