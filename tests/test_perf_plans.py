@@ -526,3 +526,89 @@ def test_funnel_is_single_scan_single_shuffle(spark, sf_dir):
     shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
     assert len(shuffles) == 1, plan
     assert plan.count("events.parquet") <= 1, plan
+
+
+def test_knn_dominance_cut_exact_under_duplicate_positions(spark):
+    """r6 knn pre-cut: with MANY duplicate-position targets (the blob
+    degenerate case) results must equal the brute-force ring-bounded kNN,
+    including the case where the query itself sits among the k+1
+    id-smallest duplicates at its position."""
+    import math
+
+    from osm_coverage_spark.geo.cells import cell_py
+    from osm_coverage_spark.operators.knn import knn_join
+
+    res, k = 14, 3
+    # 12 targets at ONE exact position (ids t00..t11), queries q* at the
+    # same position and nearby; q_at is ALSO a target at that position
+    pos = (50.5, 6.5)
+    rows = [(f"t{i:02d}", pos[0], pos[1]) for i in range(12)]
+    rows += [("q_at", pos[0], pos[1]), ("q_near", pos[0] + 1e-4, pos[1])]
+    targets = spark.createDataFrame(rows, "image_id string, lat double, lon double")
+    queries = targets.filter(F.col("image_id").startswith("q"))
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(queries, targets, id_col="image_id",
+                          k_neighbors=k, res=res).collect()
+    }
+
+    def hav_mm(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[0], a[1], b[0], b[1]))
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+        return round(1.2742e7 * math.asin(math.sqrt(h)), 3)
+
+    ring = lambda c: {c + dx * 2**25 + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)}  # noqa: E731
+    by_id = {r[0]: (r[1], r[2]) for r in rows}
+    for qid in ("q_at", "q_near"):
+        qp = by_id[qid]
+        cand = [
+            (hav_mm(qp, p), tid)
+            for tid, p in by_id.items()
+            if tid != qid and cell_py(p[0], p[1], res) in ring(cell_py(qp[0], qp[1], res))
+        ]
+        for rank, (_, tid) in enumerate(sorted(cand)[:k], start=1):
+            assert got[(qid, rank)] == tid, (qid, rank, got)
+
+
+def test_retention_no_user_broadcast_two_exchanges(spark, sf_dir):
+    """r5 verdict #1 done-criterion: events_retention must not broadcast
+    any per-USER table (unbounded at scale) and must cost at most two
+    hash exchanges (user_id aggregation + final cohort count)."""
+    import re
+
+    from osm_coverage_spark import queries_events as qe
+
+    df = qe.q_events_retention(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" not in plan, plan
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    assert len(shuffles) <= 2, plan
+
+
+def test_dot_fast_equals_interpreted_fold(spark):
+    """r6 ann scorer: the unrolled codegen dot product must be
+    bit-identical to the zip_with+aggregate fold — on the expected
+    64-dim arrays, on other lengths (fallback path), and under NULLs."""
+    import random
+
+    from osm_coverage_spark.queries_text import EMB_DIM, _dot, _dot_fast
+
+    rng = random.Random(7)
+    rows = []
+    for n in (EMB_DIM, EMB_DIM, 8, 65):
+        rows.append((
+            [rng.uniform(-2, 2) for _ in range(n)],
+            [rng.uniform(-2, 2) for _ in range(n)],
+        ))
+    rows.append(([None] + [1.0] * (EMB_DIM - 1), [1.0] * EMB_DIM))
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    out = df.select(
+        _dot_fast(F.col("a"), F.col("b")).alias("fast"),
+        _dot(F.col("a").cast("array<double>"), F.col("b").cast("array<double>")).alias("ref"),
+    ).collect()
+    for r in out:
+        assert (r["fast"] is None) == (r["ref"] is None)
+        if r["fast"] is not None:
+            assert r["fast"] == r["ref"], (r["fast"], r["ref"])
