@@ -151,9 +151,22 @@ def flag_found(alkis: DataFrame, osm: DataFrame,
         alkis = alkis.withColumn(
             "_acell", cell_expr(F.col("lat"), F.col("lon"), MATCH_CELL_RES)
         )
+        # Explicit repartition on the join keys so the ALKIS prep chain
+        # gets its OWN shuffle-map stage: a shuffled-hash join otherwise
+        # fuses the stream side's derivation into the post-build probe
+        # stage, serializing the two independent branches behind the build
+        # barrier (guide §2.6 — overlap independent work; stage metrics
+        # showed 60 core-s of work taking 4.2 s wall at 45 % parallel
+        # efficiency). With the stream side as its own stage, AQE
+        # materializes both branches concurrently: 4.4 → 2.9 s measured at
+        # sf1.0. The partitioning equals the join requirement, so no extra
+        # exchange is added — the fused plan's exchange just moves below
+        # the join.
+        alkis = alkis.repartition(F.col("key"), F.col("_acell"))
         cond = (F.col("key") == F.col("_okey")) & (F.col("_acell") == F.col("_onbr"))
     else:
         osm_agg = osm_sel.groupBy("_okey").agg(F.collect_list(pt).alias("_opts"))
+        alkis = alkis.repartition(F.col("key"))
         cond = F.col("key") == F.col("_okey")
 
     dist = _dist_fn(dist_backend)
