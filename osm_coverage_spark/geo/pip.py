@@ -207,7 +207,16 @@ def pip_join(
     hits = cand.mapInPandas(refine, schema)
     if fallback is None:
         return hits
-    out = points.select(point_id).join(hits, point_id, "left")
+    # own shuffle-map stage for the all-points side (guide §2.6): the
+    # runtime broadcast of the hits side otherwise fuses the second points
+    # derivation into the final join stage, serializing it behind the
+    # Python ray-cast (r6: 1.54 → 1.39 s at sf1.0); the id projection is
+    # one narrow column, so the exchange is small at any scale
+    out = (
+        points.select(point_id)
+        .repartition(F.col(point_id))
+        .join(hits, point_id, "left")
+    )
     return out.withColumn(
         poly_name, F.coalesce(F.col(poly_name), F.lit(fallback))
     )
