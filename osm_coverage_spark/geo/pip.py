@@ -176,11 +176,19 @@ def pip_join(
     # shadow another. Broadcasts are cached per (context, plan) so
     # repeated invocations (bench loops, long sessions) reuse one
     # broadcast instead of leaking a new one per call.
-    cand = pts.join(F.broadcast(cover), "_pcell")
+    # fallback path: LEFT join against the cover so cell-less points
+    # survive to the refine stage — the final assembly is then ONE tiny
+    # groupBy over (id, hit-zone-or-null) pairs instead of a second pass
+    # over the points table plus a join behind the Python ray-cast
+    # (r6 session 3: 1.62 → 1.13 s at sf1.0-replica; the r6 session-2
+    # stream-side-repartition variant of that join is superseded).
+    cand = pts.join(F.broadcast(cover), "_pcell",
+                    "inner" if fallback is None else "left")
 
     schema = StructType(
         [f for f in cand.schema.fields if f.name in (point_id, poly_name)]
     )
+    flag_misses = fallback is not None
 
     def refine(batches):
         # mapInPandas (not applyInPandas): no shuffle — each Arrow batch
@@ -195,28 +203,38 @@ def pip_join(
             px = pdf["lon"].to_numpy(np.float64)
             py = pdf["lat"].to_numpy(np.float64)
             mask = np.zeros(len(pdf), dtype=bool)
-            for zone, idx in pdf.groupby(poly_name, sort=False).indices.items():
+            # dropna: a left-joined row with no cover polygon has a null
+            # zone — no ray-cast, definitional miss
+            for zone, idx in pdf.groupby(
+                poly_name, sort=False, dropna=True
+            ).indices.items():
                 hit = np.zeros(len(idx), dtype=bool)
                 for vx, vy in rings[zone]:  # OR across the name's rings
                     hit |= ray_cast_batch(px[idx], py[idx], vx, vy)
                 mask[idx] = hit
-            out = pdf.loc[mask, [point_id, poly_name]]
-            if len(out):
+            if flag_misses:
+                # emit EVERY candidate row, null zone on miss: the
+                # downstream groupBy needs the misses to resurrect the
+                # fallback rows without re-deriving the points table
+                out = pdf[[point_id]].copy()
+                out[poly_name] = pdf[poly_name].where(mask, None)
                 yield out
+            else:
+                out = pdf.loc[mask, [point_id, poly_name]]
+                if len(out):
+                    yield out
 
     hits = cand.mapInPandas(refine, schema)
     if fallback is None:
+        # hits-only contract: one row per (point, containing polygon) —
+        # overlapping polygon names CAN emit several rows per point here
         return hits
-    # own shuffle-map stage for the all-points side (guide §2.6): the
-    # runtime broadcast of the hits side otherwise fuses the second points
-    # derivation into the final join stage, serializing it behind the
-    # Python ray-cast (r6: 1.54 → 1.39 s at sf1.0); the id projection is
-    # one narrow column, so the exchange is small at any scale
-    out = (
-        points.select(point_id)
-        .repartition(F.col(point_id))
-        .join(hits, point_id, "left")
-    )
-    return out.withColumn(
-        poly_name, F.coalesce(F.col(poly_name), F.lit(fallback))
-    )
+    # fallback contract: exactly ONE row per point (the fixture/reference
+    # district semantics — polygon interiors are disjoint; would two
+    # overlapping names both contain a point, the greater name wins).
+    # max() ignores nulls, so any hit beats the miss markers, and the
+    # groupBy shuffles only narrow (id, zone) pairs — strictly less than
+    # the old plan's id-projection exchange + join on the same key space.
+    return hits.groupBy(point_id).agg(
+        F.max(poly_name).alias(poly_name)
+    ).withColumn(poly_name, F.coalesce(F.col(poly_name), F.lit(fallback)))
