@@ -105,15 +105,25 @@ def q_schema_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-row dedup (02:329) + key-subset dedup (03:110-115,228-232) over
-    the derived OSM table, which plants duplicate rows (okey%10==0 twice)."""
+    the derived OSM table, which plants duplicate rows (okey%10==0 twice).
+
+    One scan (r6 session 3): the three counts are one aggregation —
+    ``count_distinct(struct(...))`` matches ``dropDuplicates().count()``
+    exactly (a struct with null fields is itself non-null, so null-keyed
+    rows are counted, unlike a bare multi-column count distinct). The old
+    dropDuplicates+crossJoin form scanned the osm view three times and
+    paid two full-width dedup shuffles: 2.15 → 1.23 s at sf1.0-replica,
+    values identical."""
     derived.register_derived_views(spark, sf_dir)
     osm = spark.table("osm")
-    full = osm.dropDuplicates()
-    subset = osm.dropDuplicates(["street", "housenumber", "lat", "lon"])
-    return full.groupBy().agg(
-        F.count(F.lit(1)).alias("n_full_dedup")
-    ).crossJoin(subset.groupBy().agg(F.count(F.lit(1)).alias("n_subset_dedup"))).crossJoin(
-        osm.groupBy().agg(F.count(F.lit(1)).alias("n_raw"))
+    return osm.agg(
+        F.count_distinct(
+            F.struct(*[F.col(c) for c in osm.columns])
+        ).alias("n_full_dedup"),
+        F.count_distinct(
+            F.struct("street", "housenumber", "lat", "lon")
+        ).alias("n_subset_dedup"),
+        F.count(F.lit(1)).alias("n_raw"),
     )
 
 
