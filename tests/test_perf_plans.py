@@ -612,3 +612,70 @@ def test_dot_fast_equals_interpreted_fold(spark):
         assert (r["fast"] is None) == (r["ref"] is None)
         if r["fast"] is not None:
             assert r["fast"] == r["ref"], (r["fast"], r["ref"])
+
+
+def test_pip_fallback_single_points_pass(spark, sf_dir):
+    """r6 session 3: the fallback assembly is a groupBy over the ray-cast
+    output, not a second derivation of the points table — the images
+    parquet must be scanned exactly once, and no join may follow the
+    Python stage."""
+    from osm_coverage_spark import queries_images
+
+    df = queries_images.q_pip_zones(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    after_python = plan.split("MapInPandas")[0]  # tree prints top-down:
+    # everything ABOVE the Python stage is the final assembly
+    assert "Join" not in after_python, plan
+    # max(zone) is a string agg → SortAggregate (no fixed-width buffer)
+    assert "Aggregate" in after_python, plan
+
+
+def test_tfidf_shares_one_doc_exchange(spark, sf_dir):
+    """r6 session 3: hashing tokens by doc_id serves both the (doc_id,
+    term) aggregation and the per-doc top-k window — exactly one exchange
+    may carry doc_id, and the window must add none of its own."""
+    from osm_coverage_spark import queries_text
+
+    df = queries_text.q_doc_tfidf(spark, sf_dir)
+    plan = _plan(df)
+    import re
+
+    # The explicit REPARTITION_BY_COL subtree prints twice (tf and the
+    # df-side lineage re-derived from it — identical, so AQE's stage
+    # cache reuses one shuffle at runtime); the claim is that the WINDOW
+    # itself adds no exchange of its own.
+    ensure = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(doc_id", ln)
+        and "ENSURE_REQUIREMENTS" in ln
+    ]
+    assert not ensure, plan
+    assert "Window" in plan, plan
+
+
+def test_winnow_kernel_is_map_side(spark, sf_dir):
+    """r6 session 3: the Arrow winnowing kernel computes the sketch inside
+    the scan stage — the old per-gram explode + per-doc window paid a full
+    shuffle+sort of the gram table; the kernel plan must have NO exchange
+    at all."""
+    from osm_coverage_spark import queries_text
+
+    derived.load_testdata(spark, sf_dir)
+    df = queries_text.winnow(spark.table("documents"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_rows_single_scan(spark, sf_dir):
+    """r6 session 3: the three counts are one aggregation pass — one scan
+    of the documents parquet behind the osm view, no join."""
+    from osm_coverage_spark import queries_misc
+
+    df = queries_misc.q_dedup_rows(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan or "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
