@@ -175,7 +175,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     df window shuffles on gram_hash — the same key as the banded join.
     No all-pairs path at any |docs|."""
     derived.register_derived_views(spark, sf_dir)
-    sk = winnow(spark.table("docs_dup")).select("doc_id", "gram_hash").distinct()
+    sk = winnow_hashes(spark.table("docs_dup"))  # kernel-distinct rows
     sk = (
         sk.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
@@ -223,7 +223,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     least-side): a tiny eval doc fully contained in a huge train doc is
     exactly the leak to catch."""
     derived.load_testdata(spark, sf_dir)
-    sk = winnow(spark.table("documents")).select("doc_id", "gram_hash").distinct()
+    sk = winnow_hashes(spark.table("documents"))  # kernel-distinct rows
     kept = (
         sk.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
@@ -1035,6 +1035,62 @@ def winnow(docs: DataFrame) -> DataFrame:
                 yield pd.DataFrame({
                     "doc_id": np.concatenate(ids_out),
                     "gram_pos": np.concatenate(pos_out),
+                    "gram_hash": np.concatenate(hash_out),
+                })
+
+    return src.mapInPandas(kern, schema)
+
+
+def winnow_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram_hash) DISTINCT sketch rows — the shape both pair
+    consumers (dedup_substring, decontaminate) immediately reduce the
+    full sketch to. Emitting per-doc unique hashes straight from the
+    kernel is GLOBALLY distinct (each doc lives in exactly one kernel
+    row), so the consumers' ``.distinct()`` exchange disappears
+    entirely — same row set, one less full shuffle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("gram_hash", LongType(), True),
+    ])
+    src = docs.select("doc_id", "text")
+    k, w, m_mod, field = WINNOW_K, WINNOW_W, _WINNOW_M, _WINNOW_POS_FIELD
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wts = np.array(
+            [pow(131, k - 1 - i, m_mod) for i in range(k)], dtype=np.int64
+        )
+        for pdf in batches:
+            ids_out, hash_out = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < k:
+                    continue
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                g = (
+                    (sliding_window_view(cps % m_mod, k) * wts[None, :])
+                    % m_mod
+                ).sum(axis=1) % m_mod
+                n = len(g)
+                pack = g * field + np.arange(n, dtype=np.int64)
+                suf = np.minimum.accumulate(pack[::-1])[::-1]
+                if n >= w:
+                    full = sliding_window_view(pack, w).min(axis=1)
+                    mins = np.concatenate([full, suf[n - w + 1:]])
+                else:
+                    mins = suf
+                u = np.unique(mins // field)  # distinct HASHES per doc
+                ids_out.append(np.full(len(u), did, dtype=np.int64))
+                hash_out.append(u)
+            if ids_out:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_out),
                     "gram_hash": np.concatenate(hash_out),
                 })
 
