@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local heap: 16g default, env-overridable. Measured both ways
+        # (r6): at a ~60 M-row-fact replica the flagship's reduce stage
+        # spills under 16g (347 MB disk / 41 s GC) and SPARK_DRIVER_MEM=48g
+        # wins 17 % there — but at the driver's measured SFs (0.1/1.0) the
+        # bigger heap consistently LOSES 0.1–0.2 s per Python-stage query
+        # (G1 ergonomics), so the default stays 16g; raise the env only
+        # when the data actually pressures memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
